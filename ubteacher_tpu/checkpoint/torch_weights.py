@@ -1,0 +1,128 @@
+"""Torch/caffe2 -> flax weight conversion for the ResNet backbone.
+
+The reference bootstraps the student from detectron2's MSRA ImageNet pkl
+("detectron2://ImageNetPretrained/MSRA/R-50.pkl", configs/*/coco-standard)
+through name-matching heuristics (reference:
+checkpoint/detection_checkpoint.py:13-36). Here conversion is explicit:
+
+  * caffe2 pkl names (conv1_w, res{s}_{b}_branch2{a,b,c}_w, *_bn_{s,b}) —
+    the `_bn_s/_bn_b` pairs are AffineChannel scale/bias, i.e. already-folded
+    frozen BN, mapping 1:1 onto our FrozenBN (scale, bias);
+  * detectron2 module names (backbone.bottom_up.res2.0.conv1.weight,
+    ...conv1.norm.{weight,bias,running_mean,running_var}) — FrozenBN is
+    folded: scale = gamma / sqrt(var + eps), bias = beta - mean * scale.
+
+Conv kernels transpose from torch (O, I, kh, kw) to flax NHWC (kh, kw, I, O).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict
+
+import numpy as np
+
+from ..modeling.resnet import RESNET_STAGES
+
+_BRANCH_TO_CONV = {"branch2a": "conv1", "branch2b": "conv2", "branch2c": "conv3",
+                   "branch1": "shortcut"}
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def load_c2_pickle(path: str) -> Dict[str, np.ndarray]:
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    if "model" in data:
+        data = data["model"]
+    return {k: np.asarray(v) for k, v in data.items() if isinstance(v, np.ndarray) or hasattr(v, "shape")}
+
+
+def convert_c2_resnet(weights: Dict[str, np.ndarray], depth: int = 50) -> Dict:
+    """caffe2 MSRA names -> our ResNet param tree (dict of dicts)."""
+    out: Dict[str, Dict] = {}
+    out["stem_conv1"] = {"kernel": _t(weights["conv1_w"])}
+    out["stem_conv1_norm"] = {
+        "scale": weights["res_conv1_bn_s"],
+        "bias": weights["res_conv1_bn_b"],
+    }
+    num_blocks = RESNET_STAGES[depth]
+    for stage_idx, n in enumerate(num_blocks):
+        s = stage_idx + 2  # res2..res5
+        for b in range(n):
+            blk = f"res{s}_block{b}"
+            out[blk] = {}
+            for branch, conv in _BRANCH_TO_CONV.items():
+                wk = f"res{s}_{b}_{branch}_w"
+                if wk not in weights:
+                    continue
+                out[blk][conv] = {"kernel": _t(weights[wk])}
+                out[blk][f"{conv}_norm"] = {
+                    "scale": weights[f"res{s}_{b}_{branch}_bn_s"],
+                    "bias": weights[f"res{s}_{b}_{branch}_bn_b"],
+                }
+    return out
+
+
+def convert_d2_resnet(
+    state_dict: Dict[str, np.ndarray],
+    depth: int = 50,
+    prefix: str = "backbone.bottom_up.",
+    eps: float = 1e-5,
+) -> Dict:
+    """detectron2 module-path names -> our ResNet param tree, folding
+    FrozenBN stats into affine (scale, bias)."""
+
+    def fold(base: str) -> Dict[str, np.ndarray]:
+        gamma = state_dict[f"{base}.weight"]
+        beta = state_dict[f"{base}.bias"]
+        mean = state_dict.get(f"{base}.running_mean")
+        var = state_dict.get(f"{base}.running_var")
+        if mean is None:  # already-affine
+            return {"scale": gamma, "bias": beta}
+        scale = gamma / np.sqrt(var + eps)
+        return {"scale": scale, "bias": beta - mean * scale}
+
+    out: Dict[str, Dict] = {}
+    out["stem_conv1"] = {"kernel": _t(state_dict[f"{prefix}stem.conv1.weight"])}
+    out["stem_conv1_norm"] = fold(f"{prefix}stem.conv1.norm")
+    num_blocks = RESNET_STAGES[depth]
+    for stage_idx, n in enumerate(num_blocks):
+        s = stage_idx + 2
+        for b in range(n):
+            blk = f"res{s}_block{b}"
+            out[blk] = {}
+            for conv in ("conv1", "conv2", "conv3"):
+                base = f"{prefix}res{s}.{b}.{conv}"
+                out[blk][conv] = {"kernel": _t(state_dict[f"{base}.weight"])}
+                out[blk][f"{conv}_norm"] = fold(f"{base}.norm")
+            sc = f"{prefix}res{s}.{b}.shortcut"
+            if f"{sc}.weight" in state_dict:
+                out[blk]["shortcut"] = {"kernel": _t(state_dict[f"{sc}.weight"])}
+                out[blk]["shortcut_norm"] = fold(f"{sc}.norm")
+    return out
+
+
+def load_pretrained_backbone(params: Dict, weights_path: str, depth: int = 50) -> Dict:
+    """Returns a copy of `params` with the backbone subtree replaced by the
+    converted pretrained weights (student-only bootstrap; the teacher starts
+    from the burn-in copy like the reference, trainer.py:213-214)."""
+    import jax
+
+    raw = load_c2_pickle(weights_path)
+    if "conv1_w" in raw:
+        converted = convert_c2_resnet(raw, depth)
+    else:
+        converted = convert_d2_resnet(raw, depth)
+    params = jax.tree.map(lambda x: x, params)  # shallow copy tree
+    backbone = params["backbone"]
+    for k, v in converted.items():
+        assert k in backbone, f"missing backbone module {k}"
+        backbone[k] = jax.tree.map(
+            lambda new, old: np.asarray(new, old.dtype).reshape(old.shape),
+            v,
+            backbone[k],
+        )
+    return params

@@ -1,0 +1,237 @@
+"""Augmentations.
+
+Weak geometric augmentation (resize-shortest-edge jitter + horizontal flip)
+runs on host in numpy/cv2 — it changes geometry, so it must transform boxes
+(reference: DatasetMapperTwoCropSeparate weak path, data/dataset_mapper.py:92-139).
+
+Strong photometric augmentation runs ON DEVICE inside the jitted train step:
+SimCLR-style color jitter -> random grayscale -> Gaussian blur -> 3x random
+erasing (reference: build_strong_augmentation, data/detection_utils.py:8-46).
+Geometry is untouched, so the weak image's boxes stay valid — which is what
+lets the whole strong branch fuse into the train step with zero host work.
+
+Known deviations from torchvision (documented, cosmetic):
+  * ColorJitter sub-ops apply in fixed order (brightness, contrast,
+    saturation, hue) instead of a random permutation;
+  * RandomErasing samples one candidate rectangle instead of 10 tries.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --------------------------------------------------------------------------
+# host-side weak augmentation
+# --------------------------------------------------------------------------
+
+
+def resize_shortest_edge_params(
+    h: int,
+    w: int,
+    min_size,
+    max_size: int,
+    sampling: str,
+    rng: np.random.Generator,
+) -> Tuple[int, int]:
+    """Target (new_h, new_w) per D2 ResizeShortestEdge semantics."""
+    if sampling == "range":
+        size = int(rng.integers(min_size[0], min_size[1] + 1))
+    else:  # choice
+        size = int(min_size[int(rng.integers(len(min_size)))])
+    scale = size / min(h, w)
+    if h < w:
+        new_h, new_w = size, int(round(scale * w))
+    else:
+        new_h, new_w = int(round(scale * h)), size
+    if max(new_h, new_w) > max_size:
+        scale2 = max_size / max(new_h, new_w)
+        new_h = int(round(new_h * scale2))
+        new_w = int(round(new_w * scale2))
+    return new_h, new_w
+
+
+def apply_weak_augment(
+    image: np.ndarray,  # (H, W, 3) uint8, BGR
+    boxes: np.ndarray,  # (M, 4) xyxy
+    canvas_hw: Tuple[int, int],
+    min_size,
+    max_size: int,
+    sampling: str,
+    rng: np.random.Generator,
+    flip: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Resize jitter + hflip + fit-to-canvas + pad. Returns the padded float32
+    image, transformed boxes, and the true (h, w) inside the canvas."""
+    import cv2
+
+    h, w = image.shape[:2]
+    new_h, new_w = resize_shortest_edge_params(h, w, min_size, max_size, sampling, rng)
+    # additionally fit into the fixed canvas (TPU fixed-shape policy)
+    ch, cw = canvas_hw
+    if new_h > ch or new_w > cw:
+        s = min(ch / new_h, cw / new_w)
+        new_h, new_w = int(new_h * s), int(new_w * s)
+    resized = cv2.resize(image, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    sx, sy = new_w / w, new_h / h
+    out_boxes = boxes.astype(np.float32).copy()
+    if len(out_boxes):
+        out_boxes[:, [0, 2]] *= sx
+        out_boxes[:, [1, 3]] *= sy
+
+    do_flip = flip and rng.random() < 0.5
+    if do_flip:
+        resized = resized[:, ::-1]
+        if len(out_boxes):
+            x1 = new_w - out_boxes[:, 2]
+            x2 = new_w - out_boxes[:, 0]
+            out_boxes[:, 0], out_boxes[:, 2] = x1, x2
+
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:new_h, :new_w] = resized.astype(np.float32)
+    return {
+        "image": canvas,
+        "boxes": out_boxes,
+        "hw": np.asarray([new_h, new_w], np.float32),
+    }
+
+
+# --------------------------------------------------------------------------
+# on-device strong augmentation (jit-able, geometry-preserving)
+# --------------------------------------------------------------------------
+
+
+def _rgb_weights_for_bgr() -> jnp.ndarray:
+    # luma weights in BGR channel order
+    return jnp.asarray([0.114, 0.587, 0.2989], jnp.float32)
+
+
+def _to_hsv(x):
+    """x in [0,1], BGR channel order -> (h, s, v)."""
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    safe_d = jnp.where(d == 0, 1.0, d)
+    hr = jnp.mod((g - b) / safe_d, 6.0)
+    hg = (b - r) / safe_d + 2.0
+    hb = (r - g) / safe_d + 4.0
+    hue = jnp.where(mx == r, hr, jnp.where(mx == g, hg, hb)) / 6.0
+    hue = jnp.where(d == 0, 0.0, hue)
+    sat = jnp.where(mx == 0, 0.0, d / jnp.where(mx == 0, 1.0, mx))
+    return hue, sat, mx
+
+
+def _from_hsv(hue, sat, val):
+    """-> BGR in [0,1]."""
+    h6 = hue * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = val * (1 - sat)
+    q = val * (1 - f * sat)
+    t = val * (1 - (1 - f) * sat)
+    i = jnp.mod(i, 6.0)
+    r = jnp.select(
+        [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+        [val, q, p, p, t, val],
+    )
+    g = jnp.select(
+        [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+        [t, val, val, q, p, p],
+    )
+    b = jnp.select(
+        [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+        [p, p, t, val, val, q],
+    )
+    return jnp.stack([b, g, r], axis=-1)
+
+
+def _color_jitter(x, key, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1):
+    """x (H, W, 3) in [0, 1] BGR."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    luma = _rgb_weights_for_bgr()
+    fb = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
+    x = x * fb
+    gray = (x * luma).sum(-1, keepdims=True)
+    fc = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
+    x = x * fc + gray.mean() * (1 - fc)
+    fs = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
+    x = x * fs + gray * (1 - fs)
+    x = jnp.clip(x, 0.0, 1.0)
+    fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+    hch, s, v = _to_hsv(x)
+    x = _from_hsv(jnp.mod(hch + fh, 1.0), s, v)
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _grayscale(x):
+    luma = _rgb_weights_for_bgr()
+    g = (x * luma).sum(-1, keepdims=True)
+    return jnp.broadcast_to(g, x.shape)
+
+
+def _gaussian_blur(x, sigma, taps: int = 9):
+    """Separable Gaussian blur with per-image sigma (PIL radius=sigma)."""
+    half = taps // 2
+    d = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    k = jnp.exp(-(d**2) / (2.0 * jnp.maximum(sigma, 1e-3) ** 2))
+    k = k / k.sum()
+    # x: (H, W, 3) -> blur H then W via correlation
+    xp = jnp.pad(x, ((half, half), (0, 0), (0, 0)), mode="edge")
+    x = sum(xp[i : i + x.shape[0]] * k[i] for i in range(taps))
+    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
+    x = sum(xp[:, i : i + x.shape[1]] * k[i] for i in range(taps))
+    return x
+
+
+def _random_erase(x, key, p, scale, ratio):
+    """One-candidate RandomErasing with normal-noise fill, x in [0,1]."""
+    h, w = x.shape[0], x.shape[1]
+    karea, kratio, ky, kx, kval, kp = jax.random.split(key, 6)
+    area = h * w
+    target = jax.random.uniform(karea, (), minval=scale[0], maxval=scale[1]) * area
+    logr = jax.random.uniform(
+        kratio, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    r = jnp.exp(logr)
+    eh = jnp.sqrt(target * r)
+    ew = jnp.sqrt(target / r)
+    eh = jnp.clip(eh, 1, h - 1).astype(jnp.int32)
+    ew = jnp.clip(ew, 1, w - 1).astype(jnp.int32)
+    y0 = jax.random.randint(ky, (), 0, h - eh)
+    x0 = jax.random.randint(kx, (), 0, w - ew)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    inside = (yy >= y0) & (yy < y0 + eh) & (xx >= x0) & (xx < x0 + ew)
+    noise = jnp.clip(jax.random.normal(kval, x.shape), 0.0, 1.0)
+    apply = jax.random.uniform(kp, ()) < p
+    return jnp.where(apply & inside[..., None], noise, x)
+
+
+def strong_augment_single(image: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+    """Full strong pipeline for one (H, W, 3) BGR image in [0, 255]."""
+    x = image / 255.0
+    k = jax.random.split(key, 6)
+    # ColorJitter with p=0.8
+    jittered = _color_jitter(x, k[0])
+    x = jnp.where(jax.random.uniform(k[1], ()) < 0.8, jittered, x)
+    # RandomGrayscale p=0.2
+    x = jnp.where(jax.random.uniform(k[2], ()) < 0.2, _grayscale(x), x)
+    # GaussianBlur p=0.5, sigma ~ U[0.1, 2]
+    sigma = jax.random.uniform(k[3], (), minval=0.1, maxval=2.0)
+    x = jnp.where(jax.random.uniform(k[4], ()) < 0.5, _gaussian_blur(x, sigma), x)
+    # 3x RandomErasing (reference: detection_utils.py:29-43)
+    ke = jax.random.split(k[5], 3)
+    x = _random_erase(x, ke[0], 0.7, (0.05, 0.2), (0.3, 3.3))
+    x = _random_erase(x, ke[1], 0.5, (0.02, 0.2), (0.1, 6.0))
+    x = _random_erase(x, ke[2], 0.3, (0.02, 0.2), (0.05, 8.0))
+    return x * 255.0
+
+
+def strong_augment(images: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+    """Batched on-device strong augmentation; (B, H, W, 3) in [0, 255]."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(strong_augment_single)(images, keys)

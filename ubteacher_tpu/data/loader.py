@@ -1,0 +1,256 @@
+"""Two-stream (labeled + unlabeled) train loader and test loader.
+
+Host-side equivalent of build_detection_semisup_train_loader_two_crops +
+AspectRatioGroupedSemiSupDatasetTwoCrop (reference: ubteacher/data/build.py:
+144-272, data/common.py:93-167), redesigned for fixed shapes:
+
+  * only the WEAK view is produced on host (geometry: resize jitter + flip +
+    pad-to-canvas); the strong view is generated on device inside the train
+    step (see data/augment.py), so each step ships 2 image tensors
+    host->device instead of the reference's 4;
+  * aspect-ratio grouping (w > h vs w <= h) selects one of two fixed
+    canvases per stream per batch — every batch is statically shaped;
+  * ground truth is padded to (B, MAX_GT) PaddedInstances arrays;
+  * batches are assembled by a thread pool and prefetched into a queue.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..structures import PaddedInstances
+from .augment import apply_weak_augment
+
+
+def _pad_gt(objs: List[Dict], max_gt: int) -> Dict[str, np.ndarray]:
+    boxes = np.zeros((max_gt, 4), np.float32)
+    classes = np.zeros((max_gt,), np.int32)
+    mask = np.zeros((max_gt,), bool)
+    n = min(len(objs), max_gt)
+    for i in range(n):
+        boxes[i] = objs[i]["bbox"]
+        classes[i] = objs[i]["category_id"]
+        mask[i] = True
+    return {"boxes": boxes, "classes": classes, "mask": mask}
+
+
+class _InfiniteSampler:
+    """Infinite shuffled index stream (reference: D2 TrainingSampler)."""
+
+    def __init__(self, n: int, seed: int):
+        self._n = n
+        self._rng = np.random.default_rng(seed)
+        self._perm: List[int] = []
+
+    def __next__(self) -> int:
+        if not self._perm:
+            self._perm = list(self._rng.permutation(self._n))
+        return self._perm.pop()
+
+
+class TwoStreamDataLoader:
+    """Yields statically-shaped semi-supervised batches.
+
+    Batch dict:
+      images_label_k   (B, H, W, 3) float32 BGR weak view
+      gt_label         PaddedInstances (B, MAX_GT, ...)
+      label_hw         (B, 2) true (h, w) in canvas
+      images_unlabel_k (Bu, Hu, Wu, 3)
+      unlabel_hw       (Bu, 2)
+    """
+
+    def __init__(
+        self,
+        cfg,
+        label_dicts: List[Dict],
+        unlabel_dicts: List[Dict],
+        seed: int = 0,
+        image_loader=None,
+    ):
+        self.cfg = cfg
+        self.label_dicts = [
+            d for d in label_dicts
+            if not cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS or d["annotations"]
+        ]
+        self.unlabel_dicts = unlabel_dicts
+        self.batch_label = cfg.SOLVER.IMG_PER_BATCH_LABEL
+        self.batch_unlabel = cfg.SOLVER.IMG_PER_BATCH_UNLABEL
+        self.max_gt = cfg.TPU.MAX_GT
+        self.canvases = {
+            "landscape": tuple(cfg.TPU.CANVAS_LANDSCAPE),
+            "portrait": tuple(cfg.TPU.CANVAS_PORTRAIT),
+        }
+        self.min_size = cfg.INPUT.MIN_SIZE_TRAIN
+        self.max_size = cfg.INPUT.MAX_SIZE_TRAIN
+        self.sampling = cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING
+        self.seed = seed
+        self.num_threads = cfg.TPU.DATA_THREADS
+        self._image_loader = image_loader or self._default_loader
+
+    @staticmethod
+    def _default_loader(file_name: str) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(file_name, cv2.IMREAD_COLOR)  # BGR
+        if img is None:
+            raise FileNotFoundError(file_name)
+        return img
+
+    def _orientation(self, d: Dict) -> str:
+        return "landscape" if d["width"] >= d["height"] else "portrait"
+
+    def _prepare(self, d: Dict, rng: np.random.Generator) -> Dict:
+        img = self._image_loader(d["file_name"])
+        orient = "landscape" if img.shape[1] >= img.shape[0] else "portrait"
+        boxes = np.asarray(
+            [o["bbox"] for o in d["annotations"]], np.float32
+        ).reshape(-1, 4)
+        rec = apply_weak_augment(
+            img, boxes, self.canvases[orient], self.min_size, self.max_size,
+            self.sampling, rng,
+        )
+        objs = [
+            {"bbox": rec["boxes"][i], "category_id": o["category_id"]}
+            for i, o in enumerate(d["annotations"])
+        ]
+        gt = _pad_gt(objs, self.max_gt)
+        return {
+            "image": rec["image"],
+            "hw": rec["hw"],
+            "gt": gt,
+            "orientation": orient,
+        }
+
+    def _stream(self, dicts: List[Dict], seed: int) -> Iterator[Dict]:
+        sampler = _InfiniteSampler(len(dicts), seed)
+        rng = np.random.default_rng(seed + 12345)
+        while True:
+            yield self._prepare(dicts[next(sampler)], rng)
+
+    def _batched_stream(
+        self, dicts: List[Dict], batch_size: int, seed: int
+    ) -> Iterator[List[Dict]]:
+        """Aspect-ratio-bucketed batching (reference: common.py:93-167)."""
+        buckets: Dict[str, List[Dict]] = {"landscape": [], "portrait": []}
+        for item in self._stream(dicts, seed):
+            b = buckets[item["orientation"]]
+            b.append(item)
+            if len(b) == batch_size:
+                yield b[:]
+                b.clear()
+
+    def _assemble(self, label_items: List[Dict], unlabel_items: List[Dict]) -> Dict:
+        def stack_images(items):
+            return np.stack([it["image"] for it in items])
+
+        def stack_hw(items):
+            return np.stack([it["hw"] for it in items])
+
+        gt = PaddedInstances(
+            boxes=np.stack([it["gt"]["boxes"] for it in label_items]),
+            classes=np.stack([it["gt"]["classes"] for it in label_items]),
+            scores=np.ones(
+                (len(label_items), self.max_gt), np.float32
+            ),
+            box_std=np.zeros((len(label_items), self.max_gt, 4), np.float32),
+            mask=np.stack([it["gt"]["mask"] for it in label_items]),
+        )
+        return {
+            "images_label_k": stack_images(label_items),
+            "gt_label": gt,
+            "label_hw": stack_hw(label_items),
+            "images_unlabel_k": stack_images(unlabel_items),
+            "unlabel_hw": stack_hw(unlabel_items),
+        }
+
+    def __iter__(self) -> Iterator[Dict]:
+        label_batches = self._batched_stream(
+            self.label_dicts, self.batch_label, self.seed
+        )
+        unlabel_batches = self._batched_stream(
+            self.unlabel_dicts, self.batch_unlabel, self.seed + 7
+        )
+        if self.num_threads <= 0:
+            for lb, ub in zip(label_batches, unlabel_batches):
+                yield self._assemble(lb, ub)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for lb, ub in zip(label_batches, unlabel_batches):
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(lb, ub))
+            except Exception as e:  # surface errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class TestDataLoader:
+    """Eval loader: deterministic order, resize to MIN_SIZE_TEST shortest
+    edge (no jitter, no flip), fixed test canvas, batch of 1..N
+    (reference: build_detection_test_loader, build.py:114-142)."""
+
+    def __init__(self, cfg, dataset_dicts: List[Dict], batch_size: int = 1,
+                 image_loader=None):
+        self.cfg = cfg
+        self.dicts = dataset_dicts
+        self.batch_size = batch_size
+        self.canvas = tuple(cfg.TPU.TEST_CANVAS)
+        self.min_size = cfg.INPUT.MIN_SIZE_TEST
+        self.max_size = cfg.INPUT.MAX_SIZE_TEST
+        self._image_loader = image_loader or TwoStreamDataLoader._default_loader
+
+    def __len__(self):
+        return -(-len(self.dicts) // self.batch_size)
+
+    def __iter__(self):
+        import cv2
+
+        ch, cw = self.canvas
+        for start in range(0, len(self.dicts), self.batch_size):
+            chunk = self.dicts[start : start + self.batch_size]
+            images = np.zeros((self.batch_size, ch, cw, 3), np.float32)
+            hw = np.zeros((self.batch_size, 2), np.float32)
+            scales = np.ones((self.batch_size,), np.float32)
+            ids = []
+            for i, d in enumerate(chunk):
+                img = self._image_loader(d["file_name"])
+                h, w = img.shape[:2]
+                scale = self.min_size / min(h, w)
+                if max(h, w) * scale > self.max_size:
+                    scale = self.max_size / max(h, w)
+                nh, nw = int(round(h * scale)), int(round(w * scale))
+                if nh > ch or nw > cw:
+                    s2 = min(ch / nh, cw / nw)
+                    nh, nw = int(nh * s2), int(nw * s2)
+                    scale = scale * s2
+                resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+                images[i, :nh, :nw] = resized.astype(np.float32)
+                hw[i] = (nh, nw)
+                scales[i] = scale
+                ids.append(d["image_id"])
+            yield {
+                "images": images,
+                "hw": hw,
+                "scales": scales,
+                "image_ids": ids,
+                "num_valid": len(chunk),
+            }

@@ -1,0 +1,117 @@
+"""Inference driver: jitted padded inference -> host COCO evaluation.
+
+Equivalent of inference_on_dataset (reference:
+ubteacher/evaluation/evaluator.py:14-118): per-batch jitted forward+decode,
+warmup-aware timing, detections rescaled to original image coordinates and
+fed to the numpy COCO evaluator. The nms_method (NMS_CRITERIA_TEST) kwarg is
+an FCOS-only feature, matching the reference (SURVEY.md §3 E3).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..modeling.fcos_outputs import (
+    compute_locations,
+    fcos_decode,
+    fcos_loss_config,
+    level_feature_sizes,
+)
+from .coco_eval import COCOBboxEvaluator
+
+
+def make_fcos_inference_fn(cfg, model, nms_method: str | None = None) -> Callable:
+    """Returns jitted fn: (params, images (B,H,W,3), hw (B,2)) -> Detections."""
+    fcfg = fcos_loss_config(cfg)
+    strides = list(cfg.MODEL.FCOS.FPN_STRIDES)
+    f = cfg.MODEL.FCOS
+    method = nms_method or f.NMS_CRITERIA_TEST
+
+    @jax.jit
+    def infer(params, images, hw):
+        dense = model.apply({"params": params}, images)
+        h, w = images.shape[1:3]
+        grid = compute_locations((h, w), strides)
+        lengths = [fh * fw for fh, fw in level_feature_sizes((h, w), strides)]
+        return fcos_decode(
+            dense, grid, lengths, hw, fcfg,
+            nms_method=method,
+            pre_nms_thresh=f.INFERENCE_TH_TEST,
+            pre_nms_topk=f.PRE_NMS_TOPK_TEST,
+            post_nms_topk=f.POST_NMS_TOPK_TEST,
+            nms_thresh=f.NMS_TH,
+            total_candidates=cfg.TPU.NMS_CANDIDATES,
+        )
+
+    return infer
+
+
+def inference_on_dataset(
+    cfg,
+    params,
+    model,
+    data_loader,
+    dataset_dicts: List[Dict],
+    nms_method: str | None = None,
+    num_classes: int | None = None,
+) -> Dict[str, float]:
+    """Runs inference over the test loader and computes COCO bbox AP.
+
+    dataset_dicts supply the ground truth (already contiguous category ids,
+    xyxy boxes).
+    """
+    num_classes = num_classes or cfg.MODEL.FCOS.NUM_CLASSES
+    evaluator = COCOBboxEvaluator(num_classes)
+
+    by_id = {d["image_id"]: d for d in dataset_dicts}
+    for d in dataset_dicts:
+        boxes_xyxy = np.asarray(
+            [o["bbox"] for o in d["annotations"]], np.float64
+        ).reshape(-1, 4)
+        xywh = boxes_xyxy.copy()
+        xywh[:, 2:] -= xywh[:, :2]
+        evaluator.add_ground_truth(
+            d["image_id"],
+            xywh,
+            [o["category_id"] for o in d["annotations"]],
+            iscrowd=[o.get("iscrowd", 0) for o in d["annotations"]],
+            areas=[o.get("area", None) or (b[2] * b[3]) for o, b in zip(d["annotations"], xywh)],
+        )
+
+    infer = make_fcos_inference_fn(cfg, model, nms_method)
+
+    num_warmup = 5
+    total_time = 0.0
+    n_images = 0
+    for i, batch in enumerate(data_loader):
+        t0 = time.perf_counter()
+        dets = infer(params, jnp.asarray(batch["images"]), jnp.asarray(batch["hw"]))
+        dets = jax.device_get(dets)
+        dt = time.perf_counter() - t0
+        if i >= num_warmup:
+            total_time += dt
+            n_images += batch["num_valid"]
+        for bi in range(batch["num_valid"]):
+            img_id = batch["image_ids"][bi]
+            scale = batch["scales"][bi]
+            mask = dets.mask[bi]
+            boxes = dets.boxes[bi][mask] / scale  # back to original pixels
+            # clip to original size
+            d = by_id[img_id]
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, d["width"])
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, d["height"])
+            xywh = boxes.copy()
+            xywh[:, 2:] -= xywh[:, :2]
+            evaluator.add_detections(
+                img_id, xywh, dets.scores[bi][mask], dets.classes[bi][mask]
+            )
+
+    results = evaluator.evaluate()
+    if n_images > 0:
+        results["inference_sec_per_image"] = total_time / n_images
+    return results

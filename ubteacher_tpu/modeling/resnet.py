@@ -1,0 +1,154 @@
+"""ResNet-50/101 backbone, detectron2-compatible (caffe/MSRA variant).
+
+TPU-native flax rewrite of detectron2's `build_resnet_backbone` as consumed
+by the reference (reference: ubteacher/modeling/backbone/fpn.py:59). NHWC
+layout, explicit torch-style paddings so converted torch weights reproduce
+outputs exactly. FrozenBatchNorm is folded into per-channel (scale, bias)
+affine params; freezing (FREEZE_AT and all FrozenBN stats) is enforced by
+the optimizer's trainable mask, not by the module.
+
+Conv compute runs in a configurable dtype (bfloat16 by default) with fp32
+params — the MXU path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# blocks per stage, keyed by depth (torchvision/caffe resnet family)
+RESNET_STAGES = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+class FrozenBN(nn.Module):
+    """BatchNorm folded to y = x * scale + bias (stats frozen).
+
+    detectron2 loads caffe2 ResNets with FrozenBatchNorm; the converter
+    (checkpoint/torch_weights.py) folds (gamma, beta, mean, var) into
+    (scale, bias) at load time.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with FrozenBN; caffe variant puts the
+    stride on the 1x1 (STRIDE_IN_1X1=True, D2 default for MSRA weights)."""
+
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    stride_in_1x1: bool = True
+    has_shortcut: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        out = nn.Conv(
+            self.bottleneck_channels, (1, 1), strides=(s1, s1), use_bias=False,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        out = FrozenBN(self.bottleneck_channels, name="conv1_norm")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.bottleneck_channels, (3, 3), strides=(s3, s3),
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = FrozenBN(self.bottleneck_channels, name="conv2_norm")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+            name="conv3",
+        )(out)
+        out = FrozenBN(self.out_channels, name="conv3_norm")(out)
+
+        if self.has_shortcut:
+            sc = nn.Conv(
+                self.out_channels, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="shortcut",
+            )(x)
+            sc = FrozenBN(self.out_channels, name="shortcut_norm")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class ResNet(nn.Module):
+    """Returns a dict {"res2": ..., "res3": ..., "res4": ..., "res5": ...}
+    (NHWC), keyed like detectron2. `out_features` selects which to compute.
+    """
+
+    depth: int = 50
+    out_features: Sequence[str] = ("res3", "res4", "res5")
+    stride_in_1x1: bool = True
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.dtype)
+        # stem: 7x7/2 + frozen BN + relu + maxpool 3x3/2 (torch paddings)
+        x = nn.Conv(
+            self.stem_out_channels, (7, 7), strides=(2, 2),
+            padding=((3, 3), (3, 3)), use_bias=False, dtype=self.dtype,
+            name="stem_conv1",
+        )(x)
+        x = FrozenBN(self.stem_out_channels, name="stem_conv1_norm")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        num_blocks = RESNET_STAGES[self.depth]
+        out_ch = self.res2_out_channels
+        bott_ch = out_ch // 4
+        outputs: Dict[str, jnp.ndarray] = {}
+        max_stage = max(
+            int(f[3:]) for f in self.out_features if f.startswith("res")
+        )
+        for stage_idx in range(4):  # res2..res5
+            stage_name = f"res{stage_idx + 2}"
+            if stage_idx + 2 > max_stage:
+                break
+            first_stride = 1 if stage_idx == 0 else 2
+            for b in range(num_blocks[stage_idx]):
+                x = BottleneckBlock(
+                    out_channels=out_ch,
+                    bottleneck_channels=bott_ch,
+                    stride=first_stride if b == 0 else 1,
+                    stride_in_1x1=self.stride_in_1x1,
+                    has_shortcut=(b == 0),
+                    dtype=self.dtype,
+                    name=f"{stage_name}_block{b}",
+                )(x)
+            outputs[stage_name] = x
+            out_ch *= 2
+            bott_ch *= 2
+        return {k: v for k, v in outputs.items() if k in self.out_features}
+
+
+def resnet_from_cfg(cfg, dtype=None) -> ResNet:
+    r = cfg.MODEL.RESNETS
+    return ResNet(
+        depth=r.DEPTH,
+        out_features=tuple(r.OUT_FEATURES),
+        stride_in_1x1=r.STRIDE_IN_1X1,
+        stem_out_channels=r.STEM_OUT_CHANNELS,
+        res2_out_channels=r.RES2_OUT_CHANNELS,
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+    )

@@ -1,0 +1,113 @@
+"""Optimizer and LR schedules as optax transforms.
+
+Equivalents of the reference's solver layer (reference:
+ubteacher/solver/build.py:9-44, ubteacher/solver/lr_scheduler.py:9-53 and
+detectron2's build_optimizer): SGD + momentum, linear warmup, multi-step
+decay, and the two-stage FACTOR_LIST variant.
+
+Freezing policy: detectron2 freezes the stem+res2 (FREEZE_AT=2) and all
+FrozenBN statistics by not passing them to the optimizer; here the same is
+expressed as an optax mask that zeroes their updates.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def build_lr_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """WarmupMultiStepLR / WarmupTwoStageMultiStepLR as a pure schedule.
+
+    WarmupMultiStepLR: lr = BASE_LR * GAMMA^(#steps passed) * warmup.
+    WarmupTwoStageMultiStepLR: per-milestone multiplicative FACTOR_LIST
+    (reference: solver/lr_scheduler.py:9-53) instead of cumulative gamma.
+    """
+    base_lr = cfg.SOLVER.BASE_LR
+    steps = tuple(cfg.SOLVER.STEPS)
+    gamma = cfg.SOLVER.GAMMA
+    warmup_iters = cfg.SOLVER.WARMUP_ITERS
+    warmup_factor = cfg.SOLVER.WARMUP_FACTOR
+    warmup_method = cfg.SOLVER.WARMUP_METHOD
+    name = cfg.SOLVER.LR_SCHEDULER_NAME
+    factor_list = tuple(cfg.SOLVER.FACTOR_LIST)
+
+    def warmup(step):
+        if warmup_method == "constant":
+            w = jnp.where(step < warmup_iters, warmup_factor, 1.0)
+        else:  # linear
+            alpha = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
+            w = jnp.where(
+                step < warmup_iters, warmup_factor * (1 - alpha) + alpha, 1.0
+            )
+        return w
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        if name == "WarmupTwoStageMultiStepLR":
+            factor = jnp.asarray(1.0)
+            for milestone, f in zip(steps, factor_list):
+                factor = jnp.where(step >= milestone, f, factor)
+            lr = base_lr * factor
+        else:  # WarmupMultiStepLR
+            n_passed = jnp.zeros(())
+            for milestone in steps:
+                n_passed = n_passed + (step >= milestone)
+            lr = base_lr * gamma**n_passed
+        return lr * warmup(step)
+
+    return schedule
+
+
+def trainable_mask(params: Dict, freeze_at: int = 2) -> Dict:
+    """True where trainable. Frozen: FrozenBN scale/bias everywhere, the
+    backbone stem, and res2..res{freeze_at} stages (D2 FREEZE_AT semantics:
+    stage k frozen iff k <= freeze_at, stem frozen iff freeze_at >= 1)."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        joined = "/".join(path)
+        if "_norm" in joined:  # FrozenBN scale/bias
+            return False
+        if freeze_at >= 1 and "stem_" in joined:
+            return False
+        for stage in range(2, freeze_at + 1):
+            if f"res{stage}_block" in joined:
+                return False
+        return True
+
+    return walk(params, ())
+
+
+def build_optimizer(cfg, params: Dict) -> optax.GradientTransformation:
+    """SGD + momentum + weight decay with the D2 freezing mask and optional
+    gradient clipping. LR comes from build_lr_schedule."""
+    schedule = build_lr_schedule(cfg)
+    mask = trainable_mask(params, cfg.MODEL.BACKBONE.FREEZE_AT)
+
+    chain = []
+    if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
+        if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value":
+            chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+        else:
+            chain.append(
+                optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+            )
+    if cfg.SOLVER.WEIGHT_DECAY > 0:
+        chain.append(
+            optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY, mask=mask)
+        )
+    chain.append(optax.sgd(schedule, momentum=cfg.SOLVER.MOMENTUM,
+                           nesterov=cfg.SOLVER.NESTEROV))
+    # zero updates for frozen params
+    chain.append(
+        optax.masked(
+            optax.set_to_zero(),
+            jax.tree.map(lambda t: not t, mask),
+        )
+    )
+    return optax.chain(*chain)
