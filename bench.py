@@ -1,0 +1,116 @@
+"""Benchmark: SSOD mutual-learning step throughput on the real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full semi-supervised step (teacher EMA + teacher forward +
+dual NMS pseudo-labeling + student forward/backward on labeled strong+weak
+and unlabeled strong + SGD) — the hot path of SURVEY.md §3 E1 — at the
+reference's per-chip load: the FCOS recipe trains 8 labeled + 8 unlabeled
+images over 4 GPUs, i.e. 2+2 per chip (README.md:114-148), at the 800-pixel
+scale jitter recipe.
+
+vs_baseline: the reference publishes NO in-repo numbers (BASELINE.md); we
+compare against an estimated 8-GPU-recipe V100 throughput of 11.4
+images/sec/chip (16 img / ~0.35 s/iter / 4 GPUs — typical D2 FCOS-R50 SSOD
+iteration time on V100-class hardware). The estimate is a placeholder until
+a measured reference number exists; the ratio is informative, not exact.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_IMG_PER_SEC_PER_CHIP = 11.4  # estimated; see module docstring
+
+BATCH_LABEL = 2
+BATCH_UNLABEL = 2
+CANVAS = (768, 1344)
+STEPS = 20
+WARMUP = 3
+
+
+def main() -> None:
+    from ubteacher_tpu.config import add_ubteacher_config, get_cfg
+    from ubteacher_tpu.engine import FCOSTrainState, make_fcos_train_steps
+    from ubteacher_tpu.modeling.fcos_head import build_one_stage_detector
+    from ubteacher_tpu.solver import build_optimizer
+    from ubteacher_tpu.structures import PaddedInstances
+
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.merge_from_file("configs/FCOS/coco-standard/fcos_R_50_ut2_sup1_run0.yaml")
+    cfg.SEMISUPNET.BURN_UP_STEP = 0
+    cfg.freeze()
+
+    model = build_one_stage_detector(cfg)
+    h, w = CANVAS
+    images = jnp.zeros((BATCH_LABEL, h, w, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images)["params"]
+    tx = build_optimizer(cfg, params)
+    state = FCOSTrainState.create(params, tx)
+    _, mutual_step = make_fcos_train_steps(cfg, model, tx)
+
+    m = cfg.TPU.MAX_GT
+    rng = np.random.default_rng(0)
+    boxes = np.zeros((BATCH_LABEL, m, 4), np.float32)
+    classes = np.zeros((BATCH_LABEL, m), np.int32)
+    mask = np.zeros((BATCH_LABEL, m), bool)
+    nb = 12
+    boxes[:, :nb, 0] = rng.uniform(0, w - 200, (BATCH_LABEL, nb))
+    boxes[:, :nb, 1] = rng.uniform(0, h - 200, (BATCH_LABEL, nb))
+    boxes[:, :nb, 2] = boxes[:, :nb, 0] + rng.uniform(20, 200, (BATCH_LABEL, nb))
+    boxes[:, :nb, 3] = boxes[:, :nb, 1] + rng.uniform(20, 200, (BATCH_LABEL, nb))
+    classes[:, :nb] = rng.integers(0, 80, (BATCH_LABEL, nb))
+    mask[:, :nb] = True
+    gt = PaddedInstances(
+        jnp.asarray(boxes), jnp.asarray(classes),
+        jnp.ones((BATCH_LABEL, m), jnp.float32),
+        jnp.zeros((BATCH_LABEL, m, 4), jnp.float32), jnp.asarray(mask),
+    )
+    imgs_l = jnp.asarray(
+        rng.normal(110, 45, size=(BATCH_LABEL, h, w, 3)).clip(0, 255).astype(np.float32)
+    )
+    imgs_u = jnp.asarray(
+        rng.normal(110, 45, size=(BATCH_UNLABEL, h, w, 3)).clip(0, 255).astype(np.float32)
+    )
+
+    def batch_for(i):
+        return {
+            "images_label_k": imgs_l,
+            "gt_label": gt,
+            "images_unlabel_k": imgs_u,
+            "rng": jax.random.PRNGKey(i),
+        }
+
+    for i in range(WARMUP):
+        state, metrics = mutual_step(state, batch_for(i))
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = mutual_step(state, batch_for(WARMUP + i))
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    imgs_per_step = BATCH_LABEL + BATCH_UNLABEL
+    value = imgs_per_step * STEPS / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "ssod_images_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(value / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,304 @@
+"""Faster R-CNN semi-supervised train steps + host trainer.
+
+TPU-native redesign of UBRCNNTeacherTrainer (reference:
+ubteacher/engine/trainer.py:612-1023) and the branch logic of
+TwoStagePseudoLabGeneralizedRCNN (reference: meta_arch/rcnn.py:7-72):
+
+  * `unsup_data_weak` (teacher): RPN proposals -> ROI inference -> padded
+    Detections with pred_boxes_std -> score > BBOX_THRESHOLD pseudo labels
+    (reference: trainer.py:727-769) — all in-graph;
+  * `supervised` / `unsup_data_train` (student): RPN losses (confidence-
+    weighted objectness BCE on the pseudo branch, rpn.py:205-212), 512-
+    proposal sampling, focal CE + nlloss / tsbetter box regression;
+  * loss weighting: rpn_loc_pseudo x0, box_reg_pseudo x UNSUP_REG_LOSS_WEIGHT,
+    other *_pseudo x UNSUP_LOSS_WEIGHT, supervised x1
+    (reference: trainer.py:885-904);
+  * EMA teacher update fused in-graph (keep 0.9996 by config).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.augment import strong_augment
+from ..modeling.anchors import generate_anchors
+from ..modeling.box_regression import Box2BoxTransform, Box2BoxXYXYTransform
+from ..modeling.fast_rcnn import (
+    box_reg_loss_nll,
+    box_reg_loss_smooth_l1,
+    box_reg_pseudo_loss_tsbetter,
+    cross_entropy_loss,
+    fast_rcnn_inference,
+    focal_ce_loss,
+    sample_proposals_batch,
+)
+from ..modeling.rpn import find_top_proposals, label_anchors, rpn_losses
+from ..structures import PaddedInstances
+from .fcos_trainer import FCOSTrainState, _ema_update
+
+RCNNTrainState = FCOSTrainState  # same pytree layout
+
+
+def _pseudo_from_detections(dets, thresh, max_boxes):
+    from ..modeling.fcos_outputs import threshold_pseudo_labels
+
+    return threshold_pseudo_labels(dets, thresh, max_boxes)
+
+
+def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
+                          ) -> Tuple[Callable, Callable]:
+    sem = cfg.SEMISUPNET
+    rpn_cfg = cfg.MODEL.RPN
+    roi_cfg = cfg.MODEL.ROI_HEADS
+    strides = [2 ** int(f[1:]) for f in rpn_cfg.IN_FEATURES]
+    num_classes = roi_cfg.NUM_CLASSES
+    rpn_box2box = Box2BoxTransform(tuple(rpn_cfg.BBOX_REG_WEIGHTS))
+    roi_box2box = Box2BoxXYXYTransform(tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS))
+    max_pseudo = cfg.TPU.MAX_PSEUDO
+    w_unsup = sem.UNSUP_LOSS_WEIGHT
+    w_reg_unsup = sem.UNSUP_REG_LOSS_WEIGHT
+
+    def _anchors_for(hw):
+        return generate_anchors(
+            hw, strides,
+            [list(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES],
+            [list(a) for a in cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS],
+            cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
+        )
+
+    def _image_hw(images):
+        b = images.shape[0]
+        h, w = images.shape[1:3]
+        return jnp.broadcast_to(jnp.asarray([h, w], jnp.float32)[None], (b, 2))
+
+    def _proposals(params, images, train: bool):
+        pyramid = model.apply({"params": params}, images, method=model.features)
+        logits, deltas = model.apply(
+            {"params": params}, pyramid, method=model.rpn
+        )
+        anch = _anchors_for(images.shape[1:3])
+        boxes, scores, mask = find_top_proposals(
+            anch["anchors"], anch["level_lengths"], anch["level_ids"],
+            logits, deltas, _image_hw(images), rpn_box2box,
+            rpn_cfg.PRE_NMS_TOPK_TRAIN if train else rpn_cfg.PRE_NMS_TOPK_TEST,
+            rpn_cfg.POST_NMS_TOPK_TRAIN if train else rpn_cfg.POST_NMS_TOPK_TEST,
+            rpn_cfg.NMS_THRESH,
+            total_candidates=max(cfg.TPU.NMS_CANDIDATES,
+                                 rpn_cfg.POST_NMS_TOPK_TRAIN if train
+                                 else rpn_cfg.POST_NMS_TOPK_TEST),
+        )
+        return pyramid, logits, deltas, anch, boxes, scores, mask
+
+    def _supervised_branch(params, images, gt, rng, use_confidence: bool,
+                           pseudo: bool):
+        """RPN + ROI losses for one branch (reference rcnn.py:23-68)."""
+        pyramid, logits, deltas, anch, pboxes, pscores, pmask = _proposals(
+            params, images, train=True
+        )
+        k_anchor, k_sample = jax.random.split(rng)
+        b = images.shape[0]
+        anchor_keys = jax.random.split(k_anchor, b)
+        labeled = jax.vmap(
+            lambda g, k: label_anchors(
+                anch["anchors"], g, rpn_cfg.BATCH_SIZE_PER_IMAGE,
+                rpn_cfg.POSITIVE_FRACTION, k, use_confidence,
+            )
+        )(gt, anchor_keys)
+        rpn_l = rpn_losses(
+            anch["anchors"], logits, deltas, labeled["labels"],
+            labeled["boxes"],
+            labeled["confid"] if use_confidence else None,
+            rpn_box2box, rpn_cfg.BATCH_SIZE_PER_IMAGE,
+            rpn_cfg.SMOOTH_L1_BETA,
+        )
+
+        sampled = sample_proposals_batch(
+            pboxes, pmask, gt, roi_cfg.BATCH_SIZE_PER_IMAGE,
+            roi_cfg.POSITIVE_FRACTION, num_classes, k_sample,
+            append_gt=roi_cfg.PROPOSAL_APPEND_GT,
+        )
+        scores, bdeltas, bstd = model.apply(
+            {"params": params}, pyramid, sampled["boxes"],
+            method=model.roi_box,
+        )
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        # MODEL.ROI_HEADS.LOSS dispatch (reference: roi_heads.py:23-70
+        # predictor selection); *_BoundaryVar variants share the cls loss
+        # with their plain counterparts
+        if roi_cfg.LOSS.startswith("FocalLoss"):
+            loss_cls = focal_ce_loss(
+                flat(scores), flat(sampled["gt_classes"]), flat(sampled["valid"])
+            )
+        else:  # CrossEntropy / CrossEntropy_BoundaryVar
+            loss_cls = cross_entropy_loss(
+                flat(scores), flat(sampled["gt_classes"]), flat(sampled["valid"])
+            )
+        if pseudo:
+            loss_box = box_reg_pseudo_loss_tsbetter(
+                flat(sampled["boxes"]), flat(sampled["gt_boxes"]),
+                flat(bdeltas), flat(bstd), flat(sampled["gt_loc_std"]),
+                flat(sampled["is_fg"]), flat(sampled["valid"]),
+                roi_box2box, sem.TS_BETTER, sem.T_CERT,
+            )
+        elif cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE == "nlloss":
+            loss_box = box_reg_loss_nll(
+                flat(sampled["boxes"]), flat(sampled["gt_boxes"]),
+                flat(bdeltas), flat(bstd), flat(sampled["is_fg"]),
+                flat(sampled["valid"]), roi_box2box,
+                cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+            )
+        else:  # smooth_l1
+            loss_box = box_reg_loss_smooth_l1(
+                flat(sampled["boxes"]), flat(sampled["gt_boxes"]),
+                flat(bdeltas), flat(sampled["is_fg"]),
+                flat(sampled["valid"]), roi_box2box,
+                cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+            )
+        return {
+            "loss_rpn_cls": rpn_l["loss_rpn_cls"],
+            "loss_rpn_loc": rpn_l["loss_rpn_loc"],
+            "loss_cls": loss_cls,
+            "loss_box_reg": loss_box,
+        }
+
+    @jax.jit
+    def burnin_step(state: RCNNTrainState, batch: Dict[str, Any]):
+        k_aug, k_branch = jax.random.split(batch["rng"])
+        label_q = strong_augment(batch["images_label_k"], k_aug)
+
+        def loss_fn(params):
+            images = jnp.concatenate([label_q, batch["images_label_k"]], 0)
+            gt2 = jax.tree.map(
+                lambda x: jnp.concatenate([x, x], 0), batch["gt_label"]
+            )
+            losses = _supervised_branch(
+                params, images, gt2, k_branch, use_confidence=False,
+                pseudo=False,
+            )
+            return sum(losses.values()), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.student
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.student)
+        student = optax.apply_updates(state.student, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return state.replace(step=state.step + 1, student=student,
+                             opt_state=opt_state), metrics
+
+    @jax.jit
+    def mutual_step(state: RCNNTrainState, batch: Dict[str, Any]):
+        at_boundary = state.step == sem.BURN_UP_STEP
+        on_cadence = ((state.step - sem.BURN_UP_STEP)
+                      % sem.TEACHER_UPDATE_ITER) == 0
+        keep_rate = jnp.where(
+            at_boundary, 0.0, jnp.where(on_cadence, sem.EMA_KEEP_RATE, 1.0)
+        )
+        teacher = _ema_update(state.teacher, state.student, keep_rate)
+
+        # teacher branch: unsup_data_weak (reference rcnn.py:32-55)
+        unl_k = batch["images_unlabel_k"]
+        pyramid_t, _, _, _, pboxes_t, _, pmask_t = _proposals(
+            teacher, unl_k, train=False
+        )
+        scores_t, deltas_t, std_t = model.apply(
+            {"params": teacher}, pyramid_t, pboxes_t, method=model.roi_box
+        )
+        dets = fast_rcnn_inference(
+            pboxes_t, pmask_t, scores_t, deltas_t, std_t, _image_hw(unl_k),
+            roi_box2box, roi_cfg.SCORE_THRESH_TEST, roi_cfg.NMS_THRESH_TEST,
+            cfg.TEST.DETECTIONS_PER_IMAGE,
+            total_candidates=cfg.TPU.NMS_CANDIDATES,
+        )
+        pseudo = _pseudo_from_detections(dets, sem.BBOX_THRESHOLD, max_pseudo)
+
+        k_aug_l, k_aug_u, k_sup, k_unsup = jax.random.split(batch["rng"], 4)
+        label_q = strong_augment(batch["images_label_k"], k_aug_l)
+        unl_q = strong_augment(unl_k, k_aug_u)
+
+        def loss_fn(params):
+            images_l = jnp.concatenate([label_q, batch["images_label_k"]], 0)
+            gt2 = jax.tree.map(
+                lambda x: jnp.concatenate([x, x], 0), batch["gt_label"]
+            )
+            sup = _supervised_branch(
+                params, images_l, gt2, k_sup, use_confidence=False,
+                pseudo=False,
+            )
+            unsup = _supervised_branch(
+                params, unl_q, pseudo, k_unsup, use_confidence=True,
+                pseudo=True,
+            )
+            weighted = {}
+            for k, v in sup.items():
+                weighted[k] = v
+            weighted["loss_rpn_loc_pseudo"] = unsup["loss_rpn_loc"] * 0.0
+            weighted["loss_box_reg_pseudo"] = unsup["loss_box_reg"] * w_reg_unsup
+            weighted["loss_rpn_cls_pseudo"] = unsup["loss_rpn_cls"] * w_unsup
+            weighted["loss_cls_pseudo"] = unsup["loss_cls"] * w_unsup
+            total = sum(weighted.values())
+            raw = dict(sup)
+            raw.update({k + "_pseudo": v for k, v in unsup.items()})
+            return total, raw
+
+        (total, raw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.student
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.student)
+        student = optax.apply_updates(state.student, updates)
+        metrics = dict(raw)
+        metrics["total_loss"] = total
+        metrics["ema_rate_1000x"] = keep_rate * 1000.0
+        metrics["num_pseudo"] = pseudo.mask.sum()
+        return state.replace(
+            step=state.step + 1, student=student, teacher=teacher,
+            opt_state=opt_state,
+        ), metrics
+
+    return burnin_step, mutual_step
+
+
+def make_rcnn_inference_fn(cfg, model) -> Callable:
+    """(params, images, hw) -> Detections, jitted (eval path; reference
+    inherits stock GeneralizedRCNN.inference, SURVEY.md §3 E3)."""
+    rpn_cfg = cfg.MODEL.RPN
+    roi_cfg = cfg.MODEL.ROI_HEADS
+    strides = [2 ** int(f[1:]) for f in rpn_cfg.IN_FEATURES]
+    rpn_box2box = Box2BoxTransform(tuple(rpn_cfg.BBOX_REG_WEIGHTS))
+    roi_box2box = Box2BoxXYXYTransform(tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS))
+
+    @jax.jit
+    def infer(params, images, hw):
+        pyramid = model.apply({"params": params}, images, method=model.features)
+        logits, deltas = model.apply({"params": params}, pyramid, method=model.rpn)
+        anch = generate_anchors(
+            images.shape[1:3], strides,
+            [list(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES],
+            [list(a) for a in cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS],
+            cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
+        )
+        b = images.shape[0]
+        ih, iw = images.shape[1:3]
+        img_hw = jnp.broadcast_to(jnp.asarray([ih, iw], jnp.float32)[None], (b, 2))
+        pboxes, _, pmask = find_top_proposals(
+            anch["anchors"], anch["level_lengths"], anch["level_ids"],
+            logits, deltas, img_hw, rpn_box2box,
+            rpn_cfg.PRE_NMS_TOPK_TEST, rpn_cfg.POST_NMS_TOPK_TEST,
+            rpn_cfg.NMS_THRESH, total_candidates=cfg.TPU.NMS_CANDIDATES * 2,
+        )
+        scores, bdeltas, bstd = model.apply(
+            {"params": params}, pyramid, pboxes, method=model.roi_box
+        )
+        return fast_rcnn_inference(
+            pboxes, pmask, scores, bdeltas, bstd, hw, roi_box2box,
+            roi_cfg.SCORE_THRESH_TEST, roi_cfg.NMS_THRESH_TEST,
+            cfg.TEST.DETECTIONS_PER_IMAGE,
+            total_candidates=cfg.TPU.NMS_CANDIDATES,
+        )
+
+    return infer

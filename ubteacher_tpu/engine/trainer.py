@@ -1,0 +1,228 @@
+"""Host-side trainer: wires data, model, steps, checkpoints, eval.
+
+Equivalent of UBTeacherTrainer (reference: ubteacher/engine/trainer.py:38-608)
+minus everything that moved on-device (EMA, pseudo-labeling, strong aug,
+loss weighting — see engine/fcos_trainer.py). What remains on host is the
+loop skeleton: iterate the two-stream loader, dispatch burn-in vs mutual
+step on the step counter (reference: trainer.py:191/212), log metrics,
+checkpoint periodically, run eval hooks.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint import TSCheckpointer
+from ..checkpoint.torch_weights import load_pretrained_backbone
+from ..data.coco import divide_label_unlabel, load_coco_json, load_coco_unlabel_json
+from ..data.loader import TestDataLoader, TwoStreamDataLoader
+from ..evaluation import inference_on_dataset
+from ..modeling.fcos_head import build_one_stage_detector
+from ..parallel import get_mesh, replicate, shard_batch
+from ..solver import build_optimizer
+from ..utils.events import EventStorage, setup_logger
+from .fcos_trainer import FCOSTrainState, make_fcos_train_steps
+
+logger = logging.getLogger("ubteacher_tpu")
+
+
+class UBTeacherTrainer:
+    """FCOS semi-supervised trainer (SEMISUPNET.Trainer == 'ubteacher')."""
+
+    def __init__(self, cfg, datasets: Optional[Dict] = None, image_loader=None):
+        """datasets: optional {'train': dicts, 'train_unlabel': dicts,
+        'test': dicts, 'meta': meta} to bypass disk COCO loading (tests)."""
+        self.cfg = cfg
+        setup_logger(cfg.OUTPUT_DIR)
+        self.storage = EventStorage(cfg.OUTPUT_DIR)
+
+        if datasets is None:
+            datasets = self._load_datasets(cfg)
+        self.datasets = datasets
+
+        label_dicts = datasets["train"]
+        unlabel_dicts = datasets.get("train_unlabel")
+        if unlabel_dicts is None:
+            # COCO-standard protocol: split train by the dataseed file
+            label_dicts, unlabel_dicts = divide_label_unlabel(
+                label_dicts,
+                cfg.DATALOADER.SUP_PERCENT,
+                cfg.DATALOADER.RANDOM_DATA_SEED,
+                cfg.DATALOADER.RANDOM_DATA_SEED_PATH,
+            )
+        self.loader = TwoStreamDataLoader(
+            cfg, label_dicts, unlabel_dicts, seed=max(cfg.SEED, 0),
+            image_loader=image_loader,
+        )
+        self._image_loader = image_loader
+
+        self.model = self._build_model(cfg)
+        ch, cw = cfg.TPU.CANVAS_LANDSCAPE
+        dummy = jnp.zeros((1, ch, cw, 3), jnp.float32)
+        params = self.model.init(jax.random.PRNGKey(max(cfg.SEED, 0)), dummy)[
+            "params"
+        ]
+        if cfg.MODEL.WEIGHTS and os.path.isfile(cfg.MODEL.WEIGHTS):
+            logger.info("loading pretrained backbone from %s", cfg.MODEL.WEIGHTS)
+            params = load_pretrained_backbone(
+                params, cfg.MODEL.WEIGHTS, cfg.MODEL.RESNETS.DEPTH
+            )
+        elif cfg.MODEL.WEIGHTS:
+            logger.warning(
+                "MODEL.WEIGHTS=%s not found on disk; training from scratch",
+                cfg.MODEL.WEIGHTS,
+            )
+
+        self.tx = build_optimizer(cfg, params)
+        self.state = FCOSTrainState.create(params, self.tx)
+        self.burnin_step, self.mutual_step = self._make_steps(
+            cfg, self.model, self.tx
+        )
+        self.mesh = get_mesh(cfg.TPU.MESH_DATA)
+        self.state = jax.device_put(self.state, replicate(self.mesh))
+        self.checkpointer = TSCheckpointer(cfg.OUTPUT_DIR)
+        self.start_iter = 0
+        self.max_iter = cfg.SOLVER.MAX_ITER
+
+    @staticmethod
+    def _load_datasets(cfg) -> Dict:
+        """Resolve DATASETS.* names to COCO json paths under $COCO_ROOT
+        (datasets/coco by default, like detectron2's ./datasets layout)."""
+        root = os.environ.get("COCO_ROOT", "datasets/coco")
+        train, meta = load_coco_json(
+            os.path.join(root, "annotations/instances_train2017.json"),
+            os.path.join(root, "train2017"),
+        )
+        test, _ = load_coco_json(
+            os.path.join(root, "annotations/instances_val2017.json"),
+            os.path.join(root, "val2017"),
+        )
+        out = {"train": train, "test": test, "meta": meta}
+        if cfg.DATASETS.CROSS_DATASET:
+            out["train_unlabel"] = load_coco_unlabel_json(
+                os.path.join(root, "annotations/image_info_unlabeled2017.json"),
+                os.path.join(root, "unlabeled2017"),
+            )
+        return out
+
+    def resume_or_load(self, resume: bool = True) -> None:
+        self.state = self.checkpointer.resume_or_load(self.state, resume)
+        self.start_iter = int(jax.device_get(self.state.step))
+        if resume and self.start_iter > 0:
+            logger.info("resumed at iteration %d", self.start_iter)
+
+    def train(self) -> None:
+        import time
+
+        cfg = self.cfg
+        burn_up = cfg.SEMISUPNET.BURN_UP_STEP
+        rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 17)
+        data_iter: Iterator = iter(self.loader)
+        logger.info(
+            "starting training at iter %d (burn-in until %d, max %d)",
+            self.start_iter, burn_up, self.max_iter,
+        )
+        # profiling hook (SURVEY.md §5: reference only has wall-clock
+        # IterationTimer; we add real device traces): set UBT_PROFILE_DIR to
+        # capture a jax.profiler trace of steps 10..20
+        profile_dir = os.environ.get("UBT_PROFILE_DIR", "")
+        for it in range(self.start_iter, self.max_iter):
+            if profile_dir and it == self.start_iter + 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and it == self.start_iter + 20:
+                jax.profiler.stop_trace()
+            t_data = time.perf_counter()
+            batch = next(data_iter)
+            data_time = time.perf_counter() - t_data
+            rng, sub = jax.random.split(rng)
+            batch["rng"] = sub
+            batch = shard_batch(batch, self.mesh)
+            # host-side branch on the step counter, like the reference's
+            # python `if` (trainer.py:191/212)
+            if it < burn_up:
+                self.state, metrics = self.burnin_step(self.state, batch)
+            else:
+                self.state, metrics = self.mutual_step(self.state, batch)
+            host_metrics = {
+                k: float(v) for k, v in jax.device_get(metrics).items()
+            }
+            host_metrics["data_time"] = data_time
+            self.storage.put_scalars(**host_metrics)
+            self.storage.step()
+            nxt = it + 1
+            if nxt % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or nxt == self.max_iter:
+                self.checkpointer.save(nxt, jax.device_get(self.state))
+            if cfg.TEST.EVAL_PERIOD and nxt % cfg.TEST.EVAL_PERIOD == 0:
+                self._eval_and_log()
+        self.checkpointer.wait_until_finished()
+
+    def _eval_and_log(self) -> None:
+        results = self.test(model="teacher")
+        self.storage.put_scalars(
+            **{f"teacher/{k}": v for k, v in results.items()}
+        )
+        results_s = self.test(model="student")
+        self.storage.put_scalars(
+            **{f"student/{k}": v for k, v in results_s.items()}
+        )
+        logger.info("eval teacher AP=%.2f student AP=%.2f",
+                    results.get("AP", float("nan")),
+                    results_s.get("AP", float("nan")))
+
+    def test(self, model: str = "teacher") -> Dict[str, float]:
+        params = self.state.teacher if model == "teacher" else self.state.student
+        test_dicts = self.datasets["test"]
+        loader = TestDataLoader(
+            self.cfg, test_dicts, batch_size=1, image_loader=self._image_loader
+        )
+        return inference_on_dataset(
+            self.cfg, params, self.model, loader, test_dicts,
+            nms_method=self.cfg.MODEL.FCOS.NMS_CRITERIA_TEST,
+            num_classes=self._num_classes(),
+            infer_fn=self._infer_fn(),
+        )
+
+    # -- overridables (FCOS defaults) ---------------------------------------
+    def _build_model(self, cfg):
+        return build_one_stage_detector(cfg)
+
+    def _make_steps(self, cfg, model, tx):
+        return make_fcos_train_steps(cfg, model, tx)
+
+    def _infer_fn(self):
+        return None  # evaluator builds the FCOS one
+
+    def _num_classes(self):
+        return self.cfg.MODEL.FCOS.NUM_CLASSES
+
+
+class UBRCNNTeacherTrainer(UBTeacherTrainer):
+    """Faster R-CNN semi-supervised trainer
+    (SEMISUPNET.Trainer == 'ubteacher_rcnn'; reference: trainer.py:612-1023).
+    Note: per the reference, nms-criteria selection at eval time is an
+    FCOS-only feature — RCNN eval uses the stock inference path
+    (SURVEY.md §3 E3)."""
+
+    def _build_model(self, cfg):
+        from ..modeling.rcnn import build_two_stage_rcnn
+
+        return build_two_stage_rcnn(cfg)
+
+    def _make_steps(self, cfg, model, tx):
+        from .rcnn_trainer import make_rcnn_train_steps
+
+        return make_rcnn_train_steps(cfg, model, tx)
+
+    def _infer_fn(self):
+        from .rcnn_trainer import make_rcnn_inference_fn
+
+        return make_rcnn_inference_fn(self.cfg, self.model)
+
+    def _num_classes(self):
+        return self.cfg.MODEL.ROI_HEADS.NUM_CLASSES

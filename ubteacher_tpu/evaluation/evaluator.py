@@ -59,11 +59,13 @@ def inference_on_dataset(
     dataset_dicts: List[Dict],
     nms_method: str | None = None,
     num_classes: int | None = None,
+    infer_fn: Callable | None = None,
 ) -> Dict[str, float]:
     """Runs inference over the test loader and computes COCO bbox AP.
 
     dataset_dicts supply the ground truth (already contiguous category ids,
-    xyxy boxes).
+    xyxy boxes). infer_fn overrides the default FCOS inference (the RCNN
+    trainer passes make_rcnn_inference_fn).
     """
     num_classes = num_classes or cfg.MODEL.FCOS.NUM_CLASSES
     evaluator = COCOBboxEvaluator(num_classes)
@@ -83,7 +85,7 @@ def inference_on_dataset(
             areas=[o.get("area", None) or (b[2] * b[3]) for o, b in zip(d["annotations"], xywh)],
         )
 
-    infer = make_fcos_inference_fn(cfg, model, nms_method)
+    infer = infer_fn or make_fcos_inference_fn(cfg, model, nms_method)
 
     num_warmup = 5
     total_time = 0.0

@@ -520,7 +520,8 @@ def fcos_decode(
             final_scores = scores_c
 
         keep = batched_nms_keep(boxes_c, final_scores, cls_c, valid_c, nms_thresh)
-        idx2, mask = top_k_detections(keep, final_scores, post_nms_topk)
+        k_post = min(post_nms_topk, final_scores.shape[0])
+        idx2, mask = top_k_detections(keep, final_scores, k_post)
         out_boxes = box_ops.clip_boxes(boxes_c[idx2], hw[0], hw[1])
         return Detections(
             boxes=out_boxes,
@@ -538,16 +539,24 @@ def fcos_decode(
 def threshold_pseudo_labels(dets: Detections, thresh: float, max_boxes: int) -> PaddedInstances:
     """scores > thresh -> pseudo ground truth (reference:
     pseudo_generator.py:62-105 threshold_bbox). Detections are already
-    padded, so thresholding just ands the mask."""
+    padded, so thresholding just ands the mask; the box capacity is sliced
+    or zero-padded to `max_boxes`."""
     keep = dets.mask & (dets.scores > thresh)
     k = dets.boxes.shape[-2]
-    assert max_boxes <= k or max_boxes == k, (max_boxes, k)
+
+    def fit(x, fill=0):
+        if k >= max_boxes:
+            return x[..., :max_boxes, :] if x.ndim == 3 else x[..., :max_boxes]
+        pad = [(0, 0)] * x.ndim
+        pad[-2 if x.ndim == 3 else -1] = (0, max_boxes - k)
+        return jnp.pad(x, pad, constant_values=fill)
+
     return PaddedInstances(
-        boxes=dets.boxes[..., :max_boxes, :],
-        classes=dets.classes[..., :max_boxes],
-        scores=dets.scores[..., :max_boxes],
-        box_std=dets.box_std[..., :max_boxes, :],
-        mask=keep[..., :max_boxes],
+        boxes=fit(dets.boxes),
+        classes=fit(dets.classes),
+        scores=fit(dets.scores),
+        box_std=fit(dets.box_std),
+        mask=fit(keep, fill=False),
     )
 
 

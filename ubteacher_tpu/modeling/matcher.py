@@ -1,0 +1,99 @@
+"""IoU matcher + fixed-size balanced subsampling, detectron2 semantics.
+
+Replaces D2's Matcher + subsample_labels as used by PseudoLabRPN
+(reference: rpn.py:117-134) and StandardROIHeadsPseudoLab
+(reference: roi_heads.py:219-226). TPU redesign: both stay fixed shape —
+the matcher returns per-anchor labels/indices over ALL anchors; the sampler
+returns a fixed number of indices selected by a random-priority top-k
+instead of host-side permutation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def match_quality(
+    gt_boxes: jnp.ndarray,   # (M, 4)
+    gt_mask: jnp.ndarray,    # (M,)
+    anchors: jnp.ndarray,    # (A, 4)
+) -> jnp.ndarray:
+    """Pairwise IoU with invalid gt rows forced to -1 so they never match."""
+    from ..ops.boxes import pairwise_iou
+
+    iou = pairwise_iou(gt_boxes, anchors)  # (M, A)
+    return jnp.where(gt_mask[:, None], iou, -1.0)
+
+
+def match(
+    quality: jnp.ndarray,           # (M, A)
+    thresholds: Sequence[float],
+    labels: Sequence[int],
+    allow_low_quality: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """D2 Matcher: per-anchor best gt + threshold-bucketed labels
+    (-1 ignore / 0 negative / 1 positive). With allow_low_quality, anchors
+    achieving each gt's max IoU are promoted to positive."""
+    matched_vals = quality.max(axis=0)          # (A,)
+    matched_idxs = jnp.argmax(quality, axis=0)  # (A,)
+
+    anchor_labels = jnp.full(matched_vals.shape, labels[0], jnp.int32)
+    edges = list(thresholds)
+    for lo, lab in zip(edges, labels[1:]):
+        anchor_labels = jnp.where(matched_vals >= lo, lab, anchor_labels)
+
+    if allow_low_quality:
+        # highest-quality match per gt (may be < threshold); quality of
+        # invalid gts is -1 so they can't promote anything real
+        best_per_gt = quality.max(axis=1, keepdims=True)  # (M, 1)
+        is_best = (quality == best_per_gt) & (best_per_gt > 0)
+        promote = is_best.any(axis=0)
+        anchor_labels = jnp.where(promote, 1, anchor_labels)
+
+    return matched_idxs, anchor_labels
+
+
+def subsample_labels(
+    labels: jnp.ndarray,   # (A,) in {-1, 0, 1}
+    num_samples: int,
+    positive_fraction: float,
+    rng: jnp.ndarray,
+) -> jnp.ndarray:
+    """Return labels with all but a balanced random subset set to -1
+    (D2 subsample_labels semantics, fixed shape via random-priority top-k)."""
+    kp, kn = jax.random.split(rng)
+    pos = labels == 1
+    neg = labels == 0
+    num_pos_desired = int(num_samples * positive_fraction)
+
+    pos_pri = jnp.where(pos, jax.random.uniform(kp, labels.shape), NEG_INF)
+    _, pos_idx = jax.lax.top_k(pos_pri, min(num_pos_desired, labels.shape[0]))
+    pos_sel = jnp.zeros(labels.shape, bool).at[pos_idx].set(True) & pos
+    n_pos = pos_sel.sum()
+
+    # negatives fill the remaining slots
+    neg_pri = jnp.where(neg, jax.random.uniform(kn, labels.shape), NEG_INF)
+    order = jnp.argsort(-neg_pri)
+    rank = jnp.zeros(labels.shape, jnp.int32).at[order].set(
+        jnp.arange(labels.shape[0], dtype=jnp.int32)
+    )
+    n_neg = num_samples - n_pos
+    neg_sel = neg & (rank < n_neg)
+
+    out = jnp.full_like(labels, -1)
+    out = jnp.where(pos_sel, 1, out)
+    out = jnp.where(neg_sel, 0, out)
+    return out
+
+
+def sample_topk_indices(
+    keep_priority: jnp.ndarray, num_samples: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k indices by priority; mask marks entries with priority > NEG_INF/2."""
+    vals, idx = jax.lax.top_k(keep_priority, num_samples)
+    return idx, vals > NEG_INF / 2

@@ -1,0 +1,170 @@
+"""Region Proposal Network: head, anchor labeling, losses, proposal selection.
+
+TPU-native rewrite of PseudoLabRPN (reference:
+ubteacher/modeling/proposal_generator/rpn.py:15-225) + the D2 RPN machinery
+it inherits. Fixed-shape redesign:
+  * anchors are a compile-time constant per canvas (modeling/anchors.py);
+  * labeling/sampling is masked + random-priority top-k (modeling/matcher.py)
+    instead of host-side nonzero/permutation;
+  * proposal selection emits padded (B, POST_NMS_TOPK) boxes + mask;
+  * the pseudo branch's confidence-weighted objectness BCE
+    (reference: rpn.py:205-212) is a weight array, never a gather.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import losses as L
+from ..ops.boxes import clip_boxes
+from ..ops.nms import batched_nms_keep, top_k_detections
+from .box_regression import Box2BoxTransform
+from .matcher import match, match_quality, subsample_labels
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv + 1x1 objectness / deltas (D2 StandardRPNHead)."""
+
+    num_anchors: int = 3
+    conv_dim: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features: List[jnp.ndarray]) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        conv = nn.Conv(
+            self.conv_dim, (3, 3), padding=((1, 1), (1, 1)),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
+            name="conv",
+        )
+        obj = nn.Conv(
+            self.num_anchors, (1, 1),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
+            name="objectness_logits",
+        )
+        deltas = nn.Conv(
+            self.num_anchors * 4, (1, 1),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
+            name="anchor_deltas",
+        )
+        logits, out_deltas = [], []
+        for f in features:
+            t = nn.relu(conv(f))
+            b = f.shape[0]
+            # (B, H, W, A) -> (B, H*W*A); matches anchor order (grid-major,
+            # then cell anchor)
+            logits.append(obj(t).astype(jnp.float32).reshape(b, -1))
+            out_deltas.append(
+                deltas(t).astype(jnp.float32).reshape(b, -1, 4)
+            )
+        return logits, out_deltas
+
+
+def label_anchors(
+    anchors: jnp.ndarray,          # (A, 4)
+    gt,                            # PaddedInstances, unbatched (M, ...)
+    batch_size_per_image: int,
+    positive_fraction: float,
+    rng: jnp.ndarray,
+    use_confidence: bool,
+) -> Dict[str, jnp.ndarray]:
+    """Match + subsample for one image (reference: rpn.py:78-150).
+    Returns labels (A,) in {-1,0,1}, matched gt boxes (A,4), confid (A,)."""
+    quality = match_quality(gt.boxes, gt.mask, anchors)  # (M, A)
+    matched_idxs, labels = match(
+        quality, thresholds=(0.3, 0.7), labels=(0, -1, 1),
+        allow_low_quality=True,
+    )
+    labels = subsample_labels(labels, batch_size_per_image, positive_fraction, rng)
+    any_gt = gt.mask.any()
+    matched_boxes = jnp.where(any_gt, gt.boxes[matched_idxs], 0.0)
+    if use_confidence:
+        confid = jnp.where(any_gt, gt.scores[matched_idxs], 0.0)
+    else:
+        confid = jnp.ones_like(labels, jnp.float32)
+    # images with no gt: everything stays background/ignore
+    labels = jnp.where(any_gt, labels, jnp.where(labels == -1, -1, 0))
+    return {"labels": labels, "boxes": matched_boxes, "confid": confid}
+
+
+def rpn_losses(
+    anchors: jnp.ndarray,              # (A, 4)
+    pred_logits: jnp.ndarray,          # (B, A)
+    pred_deltas: jnp.ndarray,          # (B, A, 4)
+    gt_labels: jnp.ndarray,            # (B, A)
+    gt_boxes: jnp.ndarray,             # (B, A, 4)
+    gt_confids: jnp.ndarray | None,
+    box2box: Box2BoxTransform,
+    batch_size_per_image: int,
+    smooth_l1_beta: float = 0.0,
+) -> Dict[str, jnp.ndarray]:
+    """Reference: rpn.py:153-225 (sum BCE + smooth-l1 over sampled anchors,
+    normalized by batch_size_per_image * num_images)."""
+    num_images = pred_logits.shape[0]
+    pos = gt_labels == 1
+    valid = gt_labels >= 0
+
+    target_deltas = box2box.get_deltas(anchors[None], gt_boxes)  # (B, A, 4)
+    loc = L.smooth_l1(pred_deltas, target_deltas, smooth_l1_beta).sum(-1)
+    localization_loss = (loc * pos).sum()
+
+    obj = L.bce_with_logits(pred_logits, (gt_labels == 1).astype(jnp.float32))
+    if gt_confids is not None:
+        obj = obj * gt_confids
+    objectness_loss = (obj * valid).sum()
+
+    normalizer = batch_size_per_image * num_images
+    return {
+        "loss_rpn_cls": objectness_loss / normalizer,
+        "loss_rpn_loc": localization_loss / normalizer,
+    }
+
+
+def find_top_proposals(
+    anchors: jnp.ndarray,              # (A, 4)
+    level_lengths: Sequence[int],
+    level_ids: jnp.ndarray,            # (A,)
+    pred_logits: jnp.ndarray,          # (B, A)
+    pred_deltas: jnp.ndarray,          # (B, A, 4)
+    image_hw: jnp.ndarray,             # (B, 2)
+    box2box: Box2BoxTransform,
+    pre_nms_topk: int,
+    post_nms_topk: int,
+    nms_thresh: float,
+    total_candidates: int = 2000,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """D2 find_top_rpn_proposals, fixed shape: per-level top-k by
+    objectness, decode, clip, global candidate cap (bounds the O(K^2) NMS
+    IoU matrix), level-wise NMS (level id as NMS class), global post-NMS
+    top-k. Returns (boxes (B,P,4), scores (B,P), mask)."""
+
+    def per_image(logits, deltas, hw):
+        sel_scores, sel_boxes, sel_lvls = [], [], []
+        offset = 0
+        for lvl, ln in enumerate(level_lengths):
+            k = min(pre_nms_topk, ln)
+            lvl_scores = jax.lax.dynamic_slice_in_dim(logits, offset, ln)
+            top, idx = jax.lax.top_k(lvl_scores, k)
+            idx = idx + offset
+            boxes = box2box.apply_deltas(deltas[idx], anchors[idx])
+            sel_scores.append(top)
+            sel_boxes.append(boxes)
+            sel_lvls.append(jnp.full((k,), lvl, jnp.int32))
+            offset += ln
+        scores = jnp.concatenate(sel_scores)
+        boxes = jnp.concatenate(sel_boxes)
+        lvls = jnp.concatenate(sel_lvls)
+        cap = min(max(total_candidates, post_nms_topk), scores.shape[0])
+        top, idx = jax.lax.top_k(scores, cap)
+        scores, boxes, lvls = top, boxes[idx], lvls[idx]
+        boxes = clip_boxes(boxes, hw[0], hw[1])
+        valid = jnp.isfinite(scores)
+        keep = batched_nms_keep(boxes, scores, lvls, valid, nms_thresh)
+        k_post = min(post_nms_topk, scores.shape[0])
+        idx2, mask = top_k_detections(keep, scores, k_post)
+        return boxes[idx2], jnp.where(mask, scores[idx2], 0.0), mask
+
+    return jax.vmap(per_image)(pred_logits, pred_deltas, image_hw)

@@ -31,7 +31,16 @@ def nms_keep(
     """Exact greedy NMS. (K,4), (K,), (K,) -> keep mask (K,) bool.
 
     Equivalent (same kept set) to torchvision.ops.nms over the valid subset.
+    On TPU this dispatches to the streaming Pallas kernel
+    (ops/pallas/nms_pallas.py) which avoids materializing the (K, K) IoU
+    matrix; elsewhere (CPU tests) it runs the XLA fori_loop version below.
     """
+    import jax.extend.backend
+
+    if jax.extend.backend.get_backend().platform == "tpu":
+        from .pallas.nms_pallas import nms_keep_pallas
+
+        return nms_keep_pallas(boxes, scores, valid, iou_threshold)
     k = boxes.shape[0]
     masked_scores = jnp.where(valid, scores, NEG_INF)
     order = jnp.argsort(-masked_scores)  # high -> low

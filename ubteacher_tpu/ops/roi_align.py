@@ -1,0 +1,124 @@
+"""ROIAlign + multi-level FPN assignment, pure jnp (Pallas kernel to come).
+
+TPU-native equivalent of detectron2's C++/CUDA ROIAlign(V2) consumed via
+ROIPooler (reference: roi_heads/roi_heads.py:40-45, 118; SURVEY.md §2b).
+Semantics follow ROIAlignV2: aligned=True (half-pixel offset), bilinear
+sampling, average over a sampling grid per bin. Deviation: D2's
+sampling_ratio=0 adapts the grid to the roi size (dynamic); we use a fixed
+sampling grid (default 2x2 per bin) to keep shapes static — numerically
+within noise for training from scratch.
+
+Multi-level assignment computes the pooled output on EVERY level and
+one-hot-combines per roi (4x arithmetic on a cheap op in exchange for zero
+dynamic control flow; XLA fuses the select into the gathers).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def roi_align(
+    features: jnp.ndarray,   # (H, W, C) one image, one level
+    boxes: jnp.ndarray,      # (R, 4) xyxy in image pixels
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """(R, output_size, output_size, C) pooled features."""
+    h, w, c = features.shape
+    # aligned=True: shift by half pixel
+    x1 = boxes[:, 0] * spatial_scale - 0.5
+    y1 = boxes[:, 1] * spatial_scale - 0.5
+    x2 = boxes[:, 2] * spatial_scale - 0.5
+    y2 = boxes[:, 3] * spatial_scale - 0.5
+    roi_w = jnp.maximum(x2 - x1, 1e-6)
+    roi_h = jnp.maximum(y2 - y1, 1e-6)
+
+    bin_w = roi_w / output_size
+    bin_h = roi_h / output_size
+    s = sampling_ratio
+    # sample points: (R, output_size, s) along each axis
+    grid = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # (s,)
+    bins = jnp.arange(output_size, dtype=jnp.float32)    # (P,)
+    # y coords: y1 + (bin + frac) * bin_h  -> (R, P, s)
+    ys = y1[:, None, None] + (bins[None, :, None] + grid[None, None, :]) * bin_h[:, None, None]
+    xs = x1[:, None, None] + (bins[None, :, None] + grid[None, None, :]) * bin_w[:, None, None]
+
+    def bilinear(img, yy, xx):
+        """img (H, W, C); yy/xx (...,) -> (..., C)."""
+        yy = jnp.clip(yy, 0.0, h - 1.0)
+        xx = jnp.clip(xx, 0.0, w - 1.0)
+        y0 = jnp.floor(yy)
+        x0 = jnp.floor(xx)
+        y1i = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+        x1i = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        wy1 = yy - y0
+        wx1 = xx - x0
+        wy0 = 1.0 - wy1
+        wx0 = 1.0 - wx1
+        v00 = img[y0i, x0i]
+        v01 = img[y0i, x1i]
+        v10 = img[y1i, x0i]
+        v11 = img[y1i, x1i]
+        return (
+            v00 * (wy0 * wx0)[..., None]
+            + v01 * (wy0 * wx1)[..., None]
+            + v10 * (wy1 * wx0)[..., None]
+            + v11 * (wy1 * wx1)[..., None]
+        )
+
+    # full sample grid per roi: (R, P, s, P, s)
+    yy = ys[:, :, :, None, None]
+    xx = xs[:, None, None, :, :]
+    yy, xx = jnp.broadcast_arrays(yy, xx)
+    vals = bilinear(features, yy, xx)  # (R, P, s, P, s, C)
+    return vals.mean(axis=(2, 4))      # (R, P, P, C)
+
+
+def assign_levels(
+    boxes: jnp.ndarray,
+    min_level: int,
+    max_level: int,
+    canonical_level: int = 4,
+    canonical_size: float = 224.0,
+) -> jnp.ndarray:
+    """FPN paper eq. (1) as in D2 assign_boxes_to_levels; (R,) int32."""
+    w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0)
+    h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 0.0)
+    sqrt_area = jnp.sqrt(w * h)
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(jnp.maximum(sqrt_area, 1e-6) / canonical_size + 1e-8)
+    )
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def multilevel_roi_align(
+    pyramid: Dict[str, jnp.ndarray],   # {"p2": (B, H, W, C), ...}
+    boxes: jnp.ndarray,                # (B, R, 4)
+    in_features: Sequence[str] = ("p2", "p3", "p4", "p5"),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """(B, R, P, P, C) pooled from the per-roi assigned pyramid level."""
+    levels = [int(f[1:]) for f in in_features]
+    min_lvl, max_lvl = min(levels), max(levels)
+
+    def per_image(feats_list, boxes_i):
+        assigned = assign_levels(boxes_i, min_lvl, max_lvl)  # (R,)
+        out = None
+        for lvl, feats in zip(levels, feats_list):
+            pooled = roi_align(
+                feats, boxes_i, 1.0 / (2**lvl), output_size, sampling_ratio
+            )
+            sel = (assigned == lvl).astype(pooled.dtype)[:, None, None, None]
+            out = pooled * sel if out is None else out + pooled * sel
+        return out
+
+    feats_list = [pyramid[f] for f in in_features]
+    return jax.vmap(per_image)(feats_list, boxes)

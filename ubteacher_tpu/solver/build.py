@@ -48,10 +48,21 @@ def build_lr_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         if name == "WarmupTwoStageMultiStepLR":
-            factor = jnp.asarray(1.0)
-            for milestone, f in zip(steps, factor_list):
-                factor = jnp.where(step >= milestone, f, factor)
+            # factor_list[bisect_right(milestones, step)]
+            # (reference: solver/lr_scheduler.py:38-48)
+            if len(factor_list) != len(steps) + 1:
+                raise ValueError(
+                    "Length of milestones should match length of factor_list."
+                )
+            factor = jnp.asarray(float(factor_list[0]))
+            for i, milestone in enumerate(steps):
+                factor = jnp.where(
+                    step >= milestone, float(factor_list[i + 1]), factor
+                )
             lr = base_lr * factor
+        elif name == "WarmupCosineLR":
+            max_iter = max(cfg.SOLVER.MAX_ITER, 1)
+            lr = base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * step / max_iter))
         else:  # WarmupMultiStepLR
             n_passed = jnp.zeros(())
             for milestone in steps:
