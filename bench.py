@@ -89,12 +89,15 @@ def main() -> None:
 
     for i in range(WARMUP):
         state, metrics = mutual_step(state, batch_for(i))
-    jax.block_until_ready(metrics["total_loss"])
+        # block EVERY step: the axon remote runtime's ready-signal on the
+        # tail of an unblocked dispatch chain is unreliable (measured 860
+        # img/s vs a true 14 img/s) — per-step blocking gives honest numbers
+        jax.block_until_ready(metrics["total_loss"])
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = mutual_step(state, batch_for(WARMUP + i))
-    jax.block_until_ready(metrics["total_loss"])
+        jax.block_until_ready(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
@@ -112,5 +115,48 @@ def main() -> None:
     )
 
 
+def bench_inference() -> None:
+    """Secondary metric: FCOS eval-path latency (batch 1, test canvas)."""
+    import jax
+
+    from ubteacher_tpu.config import add_ubteacher_config, get_cfg
+    from ubteacher_tpu.evaluation.evaluator import make_fcos_inference_fn
+    from ubteacher_tpu.modeling.fcos_head import build_one_stage_detector
+
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.merge_from_file("configs/FCOS/coco-standard/fcos_R_50_ut2_sup1_run0.yaml")
+    cfg.freeze()
+    model = build_one_stage_detector(cfg)
+    h, w = cfg.TPU.TEST_CANVAS
+    images = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images)["params"]
+    infer = make_fcos_inference_fn(cfg, model)
+    hw = jnp.asarray([[h, w]], jnp.float32)
+    dets = infer(params, images, hw)
+    jax.block_until_ready(dets.boxes)
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        dets = infer(params, images, hw)
+    jax.block_until_ready(dets.boxes)
+    dt = (time.perf_counter() - t0) / n
+    print(
+        json.dumps(
+            {
+                "metric": "fcos_eval_ms_per_image",
+                "value": round(dt * 1000, 2),
+                "unit": "ms/img",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--inference" in sys.argv:
+        bench_inference()
+    else:
+        main()

@@ -127,6 +127,52 @@ def test_full_train_and_eval_cycle(tmp_path):
     assert "AP" in results and np.isfinite(results["AP"])
 
 
+def test_rcnn_trainer_cycle(tmp_path):
+    """UBRCNNTeacherTrainer through the host loop on synthetic data."""
+    from ubteacher_tpu.engine.trainer import UBRCNNTeacherTrainer
+
+    json_path, img_dir, arrays = _synthetic_coco(tmp_path, size=48)
+    dicts, meta = load_coco_json(json_path, img_dir)
+    cfg = _tiny_cfg(tmp_path)
+    # tiny canvas: RCNN graphs (ROIAlign gather/scatter) compile slowly on CPU
+    cfg.TPU.CANVAS_LANDSCAPE = (64, 64)
+    cfg.TPU.CANVAS_PORTRAIT = (64, 64)
+    cfg.TPU.TEST_CANVAS = (64, 64)
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.INPUT.MAX_SIZE_TEST = 64
+    cfg.MODEL.META_ARCHITECTURE = "TwoStagePseudoLabGeneralizedRCNN"
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.MODEL.ROI_HEADS.LOSS = "FocalLoss_BoundaryVar"
+    cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE = "nlloss"
+    cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 64
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 20
+    cfg.SEMISUPNET.Trainer = "ubteacher_rcnn"
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.SEMISUPNET.BURN_UP_STEP = 2
+    cfg.freeze()
+    datasets = {
+        "train": dicts[:6], "train_unlabel": dicts[6:], "test": dicts[:2],
+        "meta": meta,
+    }
+    trainer = UBRCNNTeacherTrainer(
+        cfg, datasets=datasets, image_loader=lambda f: arrays[f]
+    )
+    trainer.train()
+    assert int(jax.device_get(trainer.state.step)) == 3
+    results = trainer.test(model="teacher")
+    assert "AP" in results and np.isfinite(results["AP"])
+
+
 def test_divide_label_unlabel_seed_file(tmp_path):
     seed_path = tmp_path / "seed.txt"
     generate_supervision_seed_file(str(seed_path), 100, percents=(10.0,), seeds=2)

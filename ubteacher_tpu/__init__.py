@@ -13,3 +13,19 @@ Design stance (vs the Detectron2/PyTorch reference at /root/reference):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# persistent compilation cache: train-step compiles are expensive (minutes
+# through the axon tunnel); cache them across processes
+try:
+    _cache_dir = _os.environ.get(
+        "UBT_JAX_CACHE_DIR", _os.path.expanduser("~/.cache/ubteacher_jax")
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass

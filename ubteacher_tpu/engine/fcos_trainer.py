@@ -20,6 +20,8 @@ ubteacher/engine/trainer.py:181-429). Differences by construction:
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Callable, Dict, Tuple
 
 import flax.struct
@@ -103,7 +105,7 @@ def make_fcos_train_steps(
         )
         return fcos_supervised_losses(dense, targets, fcfg)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def burnin_step(state: FCOSTrainState, batch: Dict[str, Any]):
         """Supervised-only step on labeled strong+weak
         (reference: trainer.py:191-210)."""
@@ -151,7 +153,7 @@ def make_fcos_train_steps(
             total_candidates=cfg.TPU.NMS_CANDIDATES,
         )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def mutual_step(state: FCOSTrainState, batch: Dict[str, Any]):
         """Mutual-learning step (reference: trainer.py:212-429)."""
         # EMA cadence (reference: trainer.py:213-222): copy at burn-in
@@ -168,12 +170,30 @@ def make_fcos_train_steps(
         dense_t = model.apply({"params": teacher}, unl_k)
         det_cls = _decode_teacher(dense_t, unl_k, f.NMS_CRITERIA_TRAIN)
         det_reg = _decode_teacher(dense_t, unl_k, f.NMS_CRITERIA_REG_TRAIN)
-        pseudo_cls = threshold_pseudo_labels(
-            det_cls, sem.BBOX_THRESHOLD, max_pseudo
-        )
-        pseudo_reg = threshold_pseudo_labels(
-            det_reg, sem.BBOX_THRESHOLD_REG, max_pseudo
-        )
+        # PSEUDO_BBOX_SAMPLE dispatch (reference: trainer.py:244-294)
+        from ..modeling.fcos_outputs import threshold_pseudo_labels_cls_ctr
+
+        if sem.PSEUDO_BBOX_SAMPLE == "thresholding":
+            pseudo_cls = threshold_pseudo_labels(
+                det_cls, sem.BBOX_THRESHOLD, max_pseudo
+            )
+        elif sem.PSEUDO_BBOX_SAMPLE == "thresholding_cls_ctr":
+            pseudo_cls = threshold_pseudo_labels_cls_ctr(
+                det_cls, sem.BBOX_THRESHOLD, sem.BBOX_CTR_THRESHOLD, max_pseudo
+            )
+        else:
+            raise ValueError(sem.PSEUDO_BBOX_SAMPLE)
+        if sem.PSEUDO_BBOX_SAMPLE_REG == "thresholding":
+            pseudo_reg = threshold_pseudo_labels(
+                det_reg, sem.BBOX_THRESHOLD_REG, max_pseudo
+            )
+        elif sem.PSEUDO_BBOX_SAMPLE_REG == "thresholding_cls_ctr":
+            pseudo_reg = threshold_pseudo_labels_cls_ctr(
+                det_reg, sem.BBOX_THRESHOLD_REG, sem.BBOX_CTR_THRESHOLD_REG,
+                max_pseudo,
+            )
+        else:
+            raise ValueError(sem.PSEUDO_BBOX_SAMPLE_REG)
 
         k_label, k_unlabel = jax.random.split(batch["rng"])
         label_q = strong_augment(batch["images_label_k"], k_label)

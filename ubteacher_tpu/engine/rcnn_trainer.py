@@ -18,6 +18,8 @@ TwoStagePseudoLabGeneralizedRCNN (reference: meta_arch/rcnn.py:7-72):
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -165,7 +167,7 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
             "loss_box_reg": loss_box,
         }
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def burnin_step(state: RCNNTrainState, batch: Dict[str, Any]):
         k_aug, k_branch = jax.random.split(batch["rng"])
         label_q = strong_augment(batch["images_label_k"], k_aug)
@@ -191,7 +193,7 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         return state.replace(step=state.step + 1, student=student,
                              opt_state=opt_state), metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def mutual_step(state: RCNNTrainState, batch: Dict[str, Any]):
         at_boundary = state.step == sem.BURN_UP_STEP
         on_cadence = ((state.step - sem.BURN_UP_STEP)

@@ -86,11 +86,35 @@ class COCOBboxEvaluator:
 
     # -- matching ----------------------------------------------------------
     def _evaluate_img(self, img_id, cat, area_rng, max_det):
+        """Greedy matching for one (image, category, area-range). Uses the
+        C++ kernel (evaluation/coco_eval_native.cpp) when available; sorted
+        detection views are cached per (img, cat) across area ranges."""
         gts = self._gt.get((img_id, cat), [])
         dts = self._dt.get((img_id, cat), [])
         if len(gts) == 0 and len(dts) == 0:
             return None
-        # gt ignore flags: crowd or outside area range
+
+        if not hasattr(self, "_sorted_cache"):
+            self._sorted_cache = {}
+        key = (img_id, cat)
+        cached = self._sorted_cache.get(key)
+        if cached is None:
+            d_order = np.argsort(
+                [-d["score"] for d in dts], kind="stable"
+            )
+            dts_sorted = [dts[i] for i in d_order]
+            d_boxes = np.asarray(
+                [d["bbox"] for d in dts_sorted]
+            ).reshape(-1, 4)
+            d_scores = np.asarray([d["score"] for d in dts_sorted])
+            cached = {"dts": dts_sorted, "d_boxes": d_boxes,
+                      "d_scores": d_scores}
+            self._sorted_cache[key] = cached
+
+        dts_sorted = cached["dts"][:max_det]
+        d_boxes = cached["d_boxes"][:max_det]
+        d_scores = cached["d_scores"][:max_det]
+
         g_ignore = np.array(
             [
                 g["iscrowd"] or g["area"] < area_rng[0] or g["area"] > area_rng[1]
@@ -98,49 +122,59 @@ class COCOBboxEvaluator:
             ],
             bool,
         )
-        # sort gts: non-ignored first (pycocotools order)
         g_order = np.argsort(g_ignore, kind="stable")
         gts = [gts[i] for i in g_order]
         g_ignore = g_ignore[g_order]
-        # sort dts by score desc, cap at max_det
-        d_order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
-        dts = [dts[i] for i in d_order]
-
         g_boxes = np.asarray([g["bbox"] for g in gts]).reshape(-1, 4)
-        d_boxes = np.asarray([d["bbox"] for d in dts]).reshape(-1, 4)
         iscrowd = np.asarray([g["iscrowd"] for g in gts], np.int32)
-        ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
+
+        from . import native
+
+        ious = None
+        if len(d_boxes) and len(g_boxes):
+            ious = native.bbox_iou(d_boxes, g_boxes, iscrowd)
+        if ious is None:
+            ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
+
+        d_areas = d_boxes[:, 2] * d_boxes[:, 3] if len(d_boxes) else np.zeros(0)
+        d_out = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
 
         T = len(IOU_THRS)
-        D, G = len(dts), len(gts)
-        dt_match = np.zeros((T, D), np.int64)   # 1 + gt index, 0 = unmatched
-        gt_match = np.zeros((T, G), np.int64)
-        dt_ignore = np.zeros((T, D), bool)
-        for t, thr in enumerate(IOU_THRS):
-            for di in range(D):
-                best_iou = min(thr, 1 - 1e-10)
-                best_g = -1
-                for gi in range(G):
-                    if gt_match[t, gi] > 0 and not iscrowd[gi]:
+        D, G = len(dts_sorted), len(gts)
+        result = native.match_dets(
+            IOU_THRS, ious.reshape(D, G), g_ignore, iscrowd.astype(np.uint8),
+            d_out,
+        ) if D else (np.zeros((T, 0), np.int64), np.zeros((T, 0), bool), None)
+        if result is None:
+            # numpy fallback (same algorithm as the C++ kernel)
+            dt_match = np.zeros((T, D), np.int64)
+            gt_match = np.zeros((T, G), np.int64)
+            dt_ignore = np.zeros((T, D), bool)
+            for t, thr in enumerate(IOU_THRS):
+                for di in range(D):
+                    best_iou = min(thr, 1 - 1e-10)
+                    best_g = -1
+                    for gi in range(G):
+                        if gt_match[t, gi] > 0 and not iscrowd[gi]:
+                            continue
+                        if best_g > -1 and not g_ignore[best_g] and g_ignore[gi]:
+                            break
+                        if ious[di, gi] < best_iou:
+                            continue
+                        best_iou = ious[di, gi]
+                        best_g = gi
+                    if best_g == -1:
+                        if d_out[di]:
+                            dt_ignore[t, di] = True
                         continue
-                    # once matched to a real gt, don't downgrade to ignored
-                    if best_g > -1 and not g_ignore[best_g] and g_ignore[gi]:
-                        break
-                    if ious[di, gi] < best_iou:
-                        continue
-                    best_iou = ious[di, gi]
-                    best_g = gi
-                if best_g == -1:
-                    continue
-                dt_ignore[t, di] = g_ignore[best_g]
-                dt_match[t, di] = best_g + 1
-                gt_match[t, best_g] = di + 1
-        # unmatched dets outside area range are ignored
-        d_areas = d_boxes[:, 2] * d_boxes[:, 3]
-        d_out = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
-        dt_ignore = dt_ignore | ((dt_match == 0) & d_out[None])
+                    dt_ignore[t, di] = g_ignore[best_g]
+                    dt_match[t, di] = best_g + 1
+                    gt_match[t, best_g] = di + 1
+        else:
+            dt_match, dt_ignore = result[0], result[1]
+
         return {
-            "dt_scores": np.asarray([d["score"] for d in dts]),
+            "dt_scores": d_scores,
             "dt_match": dt_match,
             "dt_ignore": dt_ignore,
             "num_gt": int((~g_ignore).sum()),

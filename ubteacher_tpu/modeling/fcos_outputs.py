@@ -560,6 +560,21 @@ def threshold_pseudo_labels(dets: Detections, thresh: float, max_boxes: int) -> 
     )
 
 
+def threshold_pseudo_labels_cls_ctr(
+    dets: Detections, cls_thresh: float, ctr_thresh: float, max_boxes: int
+) -> PaddedInstances:
+    """cls_confid > t0 AND centerness > t1 -> pseudo gt (reference:
+    pseudo_generator.py:107-131 threshold_cls_ctr_bbox)."""
+    keep = dets.mask & (dets.cls_confid > cls_thresh) & (dets.centerness > ctr_thresh)
+    capped = Detections(
+        boxes=dets.boxes, scores=dets.scores, classes=dets.classes,
+        cls_confid=dets.cls_confid, centerness=dets.centerness,
+        box_std=dets.box_std, mask=keep,
+    )
+    # reuse the slicing/padding of the plain variant with thresh below min
+    return threshold_pseudo_labels(capped, -1.0, max_boxes)
+
+
 def fcos_loss_config(cfg) -> Dict[str, Any]:
     """Extract the static FCOS loss/decode settings from a CfgNode."""
     f = cfg.MODEL.FCOS

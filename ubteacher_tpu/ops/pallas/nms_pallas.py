@@ -24,7 +24,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _nms_kernel(boxes_ref, out_ref, sup_ref, *, k: int, iou_threshold: float):
     """boxes_ref: (8, K) f32 rows = [x1, y1, x2, y2, area, valid, 0, 0]
-    out_ref: (1, K) f32 keep mask; sup_ref: (1, K) f32 scratch."""
+    out_ref: (1, K) f32 keep mask; sup_ref: (1, K) f32 scratch.
+
+    Scalar extraction of row i uses one-hot reductions (col == i) instead of
+    dynamic slicing — Mosaic has no dynamic_slice on values, and masked
+    reductions map directly onto the VPU.
+    """
     sup_ref[...] = jnp.zeros((1, k), jnp.float32)
     x1 = boxes_ref[0:1, :]
     y1 = boxes_ref[1:2, :]
@@ -35,15 +40,20 @@ def _nms_kernel(boxes_ref, out_ref, sup_ref, *, k: int, iou_threshold: float):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     def body(i, _):
-        keep_i = (valid[0, i] > 0.0) & (sup_ref[0, i] == 0.0)
+        onehot = (col == i).astype(jnp.float32)
+
+        def pick(row):
+            return jnp.sum(row * onehot)
+
+        keep_i = (pick(valid) > 0.0) & (pick(sup_ref[...]) == 0.0)
 
         @pl.when(keep_i)
         def _():
-            bx1 = x1[0, i]
-            by1 = y1[0, i]
-            bx2 = x2[0, i]
-            by2 = y2[0, i]
-            barea = area[0, i]
+            bx1 = pick(x1)
+            by1 = pick(y1)
+            bx2 = pick(x2)
+            by2 = pick(y2)
+            barea = pick(area)
             ix1 = jnp.maximum(x1, bx1)
             iy1 = jnp.maximum(y1, by1)
             ix2 = jnp.minimum(x2, bx2)

@@ -98,22 +98,98 @@ def assign_levels(
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 
+def _sample_coords(boxes, spatial_scale, output_size, sampling_ratio):
+    """Per-roi bilinear sample coordinates along each axis.
+    Returns ys, xs: (R, P*s) in feature-map pixels (aligned=True)."""
+    x1 = boxes[:, 0] * spatial_scale - 0.5
+    y1 = boxes[:, 1] * spatial_scale - 0.5
+    x2 = boxes[:, 2] * spatial_scale - 0.5
+    y2 = boxes[:, 3] * spatial_scale - 0.5
+    roi_w = jnp.maximum(x2 - x1, 1e-6)
+    roi_h = jnp.maximum(y2 - y1, 1e-6)
+    s = sampling_ratio
+    n = output_size * s
+    frac = (jnp.arange(n, dtype=jnp.float32) + 0.5) / s  # in bin units
+    ys = y1[:, None] + frac[None, :] * (roi_h / output_size)[:, None]
+    xs = x1[:, None] + frac[None, :] * (roi_w / output_size)[:, None]
+    return ys, xs
+
+
+def roi_align_matmul(
+    features: jnp.ndarray,   # (H, W, C) one image, one level
+    boxes: jnp.ndarray,      # (R, 4) xyxy image pixels
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    roi_chunk: int = 64,
+) -> jnp.ndarray:
+    """ROIAlign as two matmuls per roi chunk — the TPU-native formulation.
+
+    Bilinear interpolation along an axis is a sparse (<=2 nonzero) weight
+    row: W[p, h] = relu(1 - |y_p - h|). Expressed densely, pooling becomes
+      out[r, p, q, c] = sum_h sum_w Wy[r, p, h] * Wx[r, q, w] * F[h, w, c]
+    i.e. two MXU matmuls instead of 4-corner gathers — XLA gathers/scatters
+    are the slow path on TPU, dense matmuls are the fast one. Chunked over
+    rois to bound the (chunk, P*s, W, C) intermediate.
+    """
+    h, w, c = features.shape
+    r = boxes.shape[0]
+    s = sampling_ratio
+    p = output_size
+    ys, xs = _sample_coords(boxes, spatial_scale, output_size, s)
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+
+    hh = jnp.arange(h, dtype=jnp.float32)
+    ww = jnp.arange(w, dtype=jnp.float32)
+    wy = jnp.maximum(1.0 - jnp.abs(ys[:, :, None] - hh[None, None, :]), 0.0)
+    wx = jnp.maximum(1.0 - jnp.abs(xs[:, :, None] - ww[None, None, :]), 0.0)
+    wy = wy.astype(features.dtype)
+    wx = wx.astype(features.dtype)
+
+    chunk = min(roi_chunk, r)
+    pad = (-r) % chunk
+    if pad:
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+    wy = wy.reshape(-1, chunk, p * s, h)
+    wx = wx.reshape(-1, chunk, p * s, w)
+
+    def do_chunk(args):
+        wy_c, wx_c = args  # (chunk, P*s, H), (chunk, P*s, W)
+        # t1[r, p, w, c] = sum_h wy[r, p, h] F[h, w, c]
+        t1 = jnp.einsum("kph,hwc->kpwc", wy_c, features,
+                        preferred_element_type=jnp.float32)
+        # out[r, p, q, c] = sum_w wx[r, q, w] t1[r, p, w, c]
+        out = jnp.einsum("kqw,kpwc->kpqc", wx_c, t1.astype(features.dtype),
+                         preferred_element_type=jnp.float32)
+        return out.astype(features.dtype)
+
+    pooled = jax.lax.map(do_chunk, (wy, wx))  # (n_chunks, chunk, P*s, P*s, C)
+    pooled = pooled.reshape(-1, p * s, p * s, c)[:r]
+    # average the s x s samples per bin
+    pooled = pooled.reshape(r, p, s, p, s, c).mean(axis=(2, 4))
+    return pooled
+
+
 def multilevel_roi_align(
     pyramid: Dict[str, jnp.ndarray],   # {"p2": (B, H, W, C), ...}
     boxes: jnp.ndarray,                # (B, R, 4)
     in_features: Sequence[str] = ("p2", "p3", "p4", "p5"),
     output_size: int = 7,
     sampling_ratio: int = 2,
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """(B, R, P, P, C) pooled from the per-roi assigned pyramid level."""
     levels = [int(f[1:]) for f in in_features]
     min_lvl, max_lvl = min(levels), max(levels)
+    align = roi_align_matmul if method == "matmul" else roi_align
 
     def per_image(feats_list, boxes_i):
         assigned = assign_levels(boxes_i, min_lvl, max_lvl)  # (R,)
         out = None
         for lvl, feats in zip(levels, feats_list):
-            pooled = roi_align(
+            pooled = align(
                 feats, boxes_i, 1.0 / (2**lvl), output_size, sampling_ratio
             )
             sel = (assigned == lvl).astype(pooled.dtype)[:, None, None, None]
