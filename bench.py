@@ -30,7 +30,7 @@ REFERENCE_IMG_PER_SEC_PER_CHIP = 11.4  # estimated; see module docstring
 BATCH_LABEL = 2
 BATCH_UNLABEL = 2
 CANVAS = (768, 1344)
-STEPS = 20
+STEPS = 30
 WARMUP = 3
 
 
@@ -89,15 +89,15 @@ def main() -> None:
 
     for i in range(WARMUP):
         state, metrics = mutual_step(state, batch_for(i))
-        # block EVERY step: the axon remote runtime's ready-signal on the
-        # tail of an unblocked dispatch chain is unreliable (measured 860
-        # img/s vs a true 14 img/s) — per-step blocking gives honest numbers
-        jax.block_until_ready(metrics["total_loss"])
+    # NOTE: on the axon remote runtime block_until_ready can return before
+    # execution finishes; jax.device_get of a result is the only honest
+    # sync. Chain STEPS steps (sequential through `state`) and fetch once.
+    float(jax.device_get(metrics["total_loss"]))
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = mutual_step(state, batch_for(WARMUP + i))
-        jax.block_until_ready(metrics["total_loss"])
+    float(jax.device_get(metrics["total_loss"]))
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

@@ -150,18 +150,22 @@ def _from_hsv(hue, sat, val):
 
 
 def _color_jitter(x, key, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1):
-    """x (H, W, 3) in [0, 1] BGR."""
+    """x (H, W, 3) in [0, 1] BGR; all math in x.dtype."""
     kb, kc, ks, kh = jax.random.split(key, 4)
-    luma = _rgb_weights_for_bgr()
-    fb = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
+    luma = _rgb_weights_for_bgr().astype(x.dtype)
+
+    def u(k, lo, hi):
+        return jax.random.uniform(k, (), minval=lo, maxval=hi).astype(x.dtype)
+
+    fb = u(kb, 1 - brightness, 1 + brightness)
     x = x * fb
     gray = (x * luma).sum(-1, keepdims=True)
-    fc = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
+    fc = u(kc, 1 - contrast, 1 + contrast)
     x = x * fc + gray.mean() * (1 - fc)
-    fs = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
+    fs = u(ks, 1 - saturation, 1 + saturation)
     x = x * fs + gray * (1 - fs)
     x = jnp.clip(x, 0.0, 1.0)
-    fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+    fh = u(kh, -hue, hue)
     hch, s, v = _to_hsv(x)
     x = _from_hsv(jnp.mod(hch + fh, 1.0), s, v)
     return jnp.clip(x, 0.0, 1.0)
@@ -174,17 +178,27 @@ def _grayscale(x):
 
 
 def _gaussian_blur(x, sigma, taps: int = 9):
-    """Separable Gaussian blur with per-image sigma (PIL radius=sigma)."""
+    """Separable Gaussian blur with per-image sigma (PIL radius=sigma),
+    as two depthwise convolutions (one HBM pass each, vs 2*taps shifted
+    adds)."""
     half = taps // 2
     d = jnp.arange(-half, half + 1, dtype=jnp.float32)
     k = jnp.exp(-(d**2) / (2.0 * jnp.maximum(sigma, 1e-3) ** 2))
-    k = k / k.sum()
-    # x: (H, W, 3) -> blur H then W via correlation
-    xp = jnp.pad(x, ((half, half), (0, 0), (0, 0)), mode="edge")
-    x = sum(xp[i : i + x.shape[0]] * k[i] for i in range(taps))
-    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
-    x = sum(xp[:, i : i + x.shape[1]] * k[i] for i in range(taps))
-    return x
+    k = (k / k.sum()).astype(x.dtype)
+
+    c = x.shape[-1]
+    xb = jnp.pad(x, ((half, half), (half, half), (0, 0)), mode="edge")[None]
+    kh = jnp.tile(k.reshape(taps, 1, 1, 1), (1, 1, 1, c))  # (taps,1,1,C)
+    kw = jnp.tile(k.reshape(1, taps, 1, 1), (1, 1, 1, c))
+    dn = jax.lax.conv_dimension_numbers(xb.shape, kh.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    xb = jax.lax.conv_general_dilated(
+        xb, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    xb = jax.lax.conv_general_dilated(
+        xb, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    return xb[0]
 
 
 def _random_erase(x, key, p, scale, ratio):
@@ -206,14 +220,20 @@ def _random_erase(x, key, p, scale, ratio):
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     inside = (yy >= y0) & (yy < y0 + eh) & (xx >= x0) & (xx < x0 + ew)
-    noise = jnp.clip(jax.random.normal(kval, x.shape), 0.0, 1.0)
+    noise = jnp.clip(jax.random.normal(kval, x.shape, x.dtype), 0.0, 1.0)
     apply = jax.random.uniform(kp, ()) < p
     return jnp.where(apply & inside[..., None], noise, x)
 
 
 def strong_augment_single(image: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
-    """Full strong pipeline for one (H, W, 3) BGR image in [0, 255]."""
-    x = image / 255.0
+    """Full strong pipeline for one (H, W, 3) BGR image in [0, 255].
+
+    Computed in bfloat16 (this is augmentation noise — precision is
+    irrelevant and the pipeline is pure HBM bandwidth); returned in the
+    input dtype.
+    """
+    orig_dtype = image.dtype
+    x = image.astype(jnp.bfloat16) / 255.0
     k = jax.random.split(key, 6)
     # ColorJitter with p=0.8
     jittered = _color_jitter(x, k[0])
@@ -228,7 +248,7 @@ def strong_augment_single(image: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
     x = _random_erase(x, ke[0], 0.7, (0.05, 0.2), (0.3, 3.3))
     x = _random_erase(x, ke[1], 0.5, (0.02, 0.2), (0.1, 6.0))
     x = _random_erase(x, ke[2], 0.3, (0.02, 0.2), (0.05, 8.0))
-    return x * 255.0
+    return (x * 255.0).astype(orig_dtype)
 
 
 def strong_augment(images: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:

@@ -154,6 +154,16 @@ class UBTeacherTrainer:
             }
             host_metrics["data_time"] = data_time
             self.storage.put_scalars(**host_metrics)
+            if cfg.VIS_PERIOD and (it + 1) % cfg.VIS_PERIOD == 0:
+                from ..utils.visualizer import save_training_visualization
+
+                gt = batch["gt_label"]
+                save_training_visualization(
+                    cfg.OUTPUT_DIR, it + 1,
+                    np.asarray(jax.device_get(batch["images_label_k"][0])),
+                    np.asarray(jax.device_get(gt.boxes[0])),
+                    np.asarray(jax.device_get(gt.mask[0])),
+                )
             self.storage.step()
             nxt = it + 1
             if nxt % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or nxt == self.max_iter:
