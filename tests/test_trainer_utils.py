@@ -1,0 +1,67 @@
+import numpy as np
+
+from ubteacher_tpu.config import add_ubteacher_config, get_cfg
+from ubteacher_tpu.engine.trainer import auto_scale_workers, verify_results
+
+
+def test_auto_scale_workers():
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = 8
+    cfg.SOLVER.IMG_PER_BATCH_LABEL = 32
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = 32
+    cfg.SOLVER.BASE_LR = 0.01
+    cfg.SOLVER.MAX_ITER = 180000
+    cfg.SOLVER.STEPS = (179990,)
+    cfg.freeze()
+    out = auto_scale_workers(cfg, 4)
+    assert out.SOLVER.IMG_PER_BATCH_LABEL == 16
+    assert abs(out.SOLVER.BASE_LR - 0.005) < 1e-9
+    assert out.SOLVER.MAX_ITER == 360000
+    assert out.SOLVER.REFERENCE_WORLD_SIZE == 4
+    # original untouched; no-op when REFERENCE_WORLD_SIZE == 0
+    assert cfg.SOLVER.IMG_PER_BATCH_LABEL == 32
+    cfg2 = get_cfg()
+    add_ubteacher_config(cfg2)
+    assert auto_scale_workers(cfg2, 4) is cfg2
+
+
+def test_verify_results():
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.TEST.EXPECTED_RESULTS = [["AP", 30.0, 1.0]]
+    assert verify_results(cfg, {"AP": 30.5})
+    assert not verify_results(cfg, {"AP": 28.0})
+    assert not verify_results(cfg, {})
+
+
+def test_loader_corrupt_sample_retry():
+    from ubteacher_tpu.data.loader import TwoStreamDataLoader
+
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.TPU.CANVAS_LANDSCAPE = (64, 64)
+    cfg.TPU.CANVAS_PORTRAIT = (64, 64)
+    cfg.TPU.MAX_GT = 4
+    cfg.TPU.DATA_THREADS = 0
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.SOLVER.IMG_PER_BATCH_LABEL = 2
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = 2
+
+    rng = np.random.default_rng(0)
+    good = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+
+    def loader_fn(name):
+        if "bad" in name:
+            raise FileNotFoundError(name)
+        return good
+
+    dicts = [
+        {"file_name": f, "height": 48, "width": 48, "image_id": i,
+         "annotations": [{"bbox": [4, 4, 20, 20], "category_id": 0}]}
+        for i, f in enumerate(["a.png", "bad1.png", "b.png", "c.png", "d.png"])
+    ]
+    dl = TwoStreamDataLoader(cfg, dicts, dicts, seed=0, image_loader=loader_fn)
+    batch = next(iter(dl))
+    assert batch["images_label_k"].shape == (2, 64, 64, 3)

@@ -105,6 +105,83 @@ def convert_d2_resnet(
     return out
 
 
+def convert_d2_fpn(state_dict: Dict[str, np.ndarray], prefix: str = "backbone.") -> Dict:
+    """detectron2 FPN names -> our FPN param tree (lateral/output convs +
+    FCOS top block)."""
+    out: Dict[str, Dict] = {}
+    for stage in (2, 3, 4, 5):
+        for kind in ("lateral", "output"):
+            base = f"{prefix}fpn_{kind}{stage}"
+            if f"{base}.weight" not in state_dict:
+                continue
+            out[f"fpn_{kind}{stage}"] = {
+                "kernel": _t(state_dict[f"{base}.weight"]),
+                "bias": state_dict[f"{base}.bias"],
+            }
+    for blk, ours in (("top_block.p6", "top_block_p6"), ("top_block.p7", "top_block_p7")):
+        if f"{prefix}{blk}.weight" in state_dict:
+            out[ours] = {
+                "kernel": _t(state_dict[f"{prefix}{blk}.weight"]),
+                "bias": state_dict[f"{prefix}{blk}.bias"],
+            }
+    return out
+
+
+def convert_ubt_fcos_head(state_dict: Dict[str, np.ndarray],
+                          prefix: str = "proposal_generator.fcos_head.") -> Dict:
+    """Reference FCOSHead names (fcos.py:220-336: {cls,bbox,share}_tower.N,
+    cls_logits, bbox_pred, bbox_pred_std, ctrness, scales.N.scale) -> our
+    FCOSHead tree ({cls,bbox,share}_conv{i}/_gn{i}, same leaf heads,
+    'scales' vector)."""
+    out: Dict[str, Dict] = {}
+    for tower, ours in (("cls_tower", "cls"), ("bbox_tower", "bbox"),
+                        ("share_tower", "share")):
+        i = 0
+        n = 0  # torch Sequential index: conv at 3k, GN at 3k+1, ReLU 3k+2
+        while f"{prefix}{tower}.{n}.weight" in state_dict:
+            out[f"{ours}_conv{i}"] = {
+                "kernel": _t(state_dict[f"{prefix}{tower}.{n}.weight"]),
+                "bias": state_dict[f"{prefix}{tower}.{n}.bias"],
+            }
+            if f"{prefix}{tower}.{n + 1}.weight" in state_dict and (
+                state_dict[f"{prefix}{tower}.{n + 1}.weight"].ndim == 1
+            ):
+                out[f"{ours}_gn{i}"] = {
+                    "GroupNorm_0": {
+                        "scale": state_dict[f"{prefix}{tower}.{n + 1}.weight"],
+                        "bias": state_dict[f"{prefix}{tower}.{n + 1}.bias"],
+                    }
+                }
+            i += 1
+            n += 3
+    for head in ("cls_logits", "bbox_pred", "bbox_pred_std", "ctrness"):
+        if f"{prefix}{head}.weight" in state_dict:
+            out[head] = {
+                "kernel": _t(state_dict[f"{prefix}{head}.weight"]),
+                "bias": state_dict[f"{prefix}{head}.bias"],
+            }
+    scales = []
+    n = 0
+    while f"{prefix}scales.{n}.scale" in state_dict:
+        scales.append(np.asarray(state_dict[f"{prefix}scales.{n}.scale"]).reshape(()))
+        n += 1
+    if scales:
+        out["scales"] = np.stack(scales)
+    return out
+
+
+def convert_ubt_fcos_model(state_dict: Dict[str, np.ndarray], depth: int = 50) -> Dict:
+    """Full reference OneStageDetector state dict -> our OneStageDetector
+    param tree {backbone, fpn, head}. Accepts teacher or student sub-dicts
+    of an EnsembleTSModel checkpoint (strip the 'modelTeacher.'/
+    'modelStudent.' prefix first)."""
+    return {
+        "backbone": convert_d2_resnet(state_dict, depth),
+        "fpn": convert_d2_fpn(state_dict),
+        "head": convert_ubt_fcos_head(state_dict),
+    }
+
+
 def load_pretrained_backbone(params: Dict, weights_path: str, depth: int = 50) -> Dict:
     """Returns a copy of `params` with the backbone subtree replaced by the
     converted pretrained weights (student-only bootstrap; the teacher starts

@@ -128,8 +128,26 @@ class TwoStreamDataLoader:
     def _stream(self, dicts: List[Dict], seed: int) -> Iterator[Dict]:
         sampler = _InfiniteSampler(len(dicts), seed)
         rng = np.random.default_rng(seed + 12345)
+        warned = 0
         while True:
-            yield self._prepare(dicts[next(sampler)], rng)
+            # corrupt-sample fallback: retry with the next index
+            # (reference: MapDatasetTwoCrop 3-retry, data/common.py:22-43)
+            for _ in range(3):
+                d = dicts[next(sampler)]
+                try:
+                    yield self._prepare(d, rng)
+                    break
+                except Exception:
+                    if warned < 5:
+                        import logging
+
+                        logging.getLogger("ubteacher_tpu").warning(
+                            "failed to load %s; retrying with another sample",
+                            d.get("file_name", "?"),
+                        )
+                        warned += 1
+            else:
+                raise RuntimeError("3 consecutive corrupt samples")
 
     def _batched_stream(
         self, dicts: List[Dict], batch_size: int, seed: int

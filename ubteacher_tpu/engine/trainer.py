@@ -32,12 +32,66 @@ from .fcos_trainer import FCOSTrainState, make_fcos_train_steps
 logger = logging.getLogger("ubteacher_tpu")
 
 
+def auto_scale_workers(cfg, num_workers: int):
+    """D2 DefaultTrainer.auto_scale_workers semantics (reference:
+    trainer.py:46, 620): when SOLVER.REFERENCE_WORLD_SIZE > 0, linearly
+    rescale batch sizes / LR / schedule to the actual worker count."""
+    old = cfg.SOLVER.REFERENCE_WORLD_SIZE
+    if old == 0 or old == num_workers:
+        return cfg
+    cfg = cfg.clone()
+    frozen = cfg.is_frozen()
+    cfg.defrost()
+    scale = num_workers / old
+    cfg.SOLVER.IMS_PER_BATCH = int(round(cfg.SOLVER.IMS_PER_BATCH * scale))
+    cfg.SOLVER.IMG_PER_BATCH_LABEL = int(
+        round(cfg.SOLVER.IMG_PER_BATCH_LABEL * scale)
+    )
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = int(
+        round(cfg.SOLVER.IMG_PER_BATCH_UNLABEL * scale)
+    )
+    cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
+    cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
+    cfg.SOLVER.STEPS = tuple(int(round(s / scale)) for s in cfg.SOLVER.STEPS)
+    cfg.TEST.EVAL_PERIOD = int(round(cfg.TEST.EVAL_PERIOD / scale))
+    cfg.SOLVER.CHECKPOINT_PERIOD = int(
+        round(cfg.SOLVER.CHECKPOINT_PERIOD / scale)
+    )
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = num_workers
+    if frozen:
+        cfg.freeze()
+    return cfg
+
+
+def verify_results(cfg, results: Dict[str, float]) -> bool:
+    """Compare eval results against cfg.TEST.EXPECTED_RESULTS entries of the
+    form [metric, expected, tolerance] (reference: trainer.py:133-135 via
+    D2 verify_results)."""
+    ok = True
+    for metric, expected, tolerance in cfg.TEST.EXPECTED_RESULTS:
+        actual = results.get(metric, float("nan"))
+        if not (abs(actual - expected) <= tolerance):
+            ok = False
+            logger.error(
+                "verify_results FAILED: %s = %.4f, expected %.4f +/- %.4f",
+                metric, actual, expected, tolerance,
+            )
+        else:
+            logger.info(
+                "verify_results ok: %s = %.4f (expected %.4f +/- %.4f)",
+                metric, actual, expected, tolerance,
+            )
+    return ok
+
+
 class UBTeacherTrainer:
     """FCOS semi-supervised trainer (SEMISUPNET.Trainer == 'ubteacher')."""
 
     def __init__(self, cfg, datasets: Optional[Dict] = None, image_loader=None):
         """datasets: optional {'train': dicts, 'train_unlabel': dicts,
         'test': dicts, 'meta': meta} to bypass disk COCO loading (tests)."""
+        cfg = auto_scale_workers(cfg, jax.device_count())
         self.cfg = cfg
         setup_logger(cfg.OUTPUT_DIR)
         self.storage = EventStorage(cfg.OUTPUT_DIR)
@@ -171,6 +225,8 @@ class UBTeacherTrainer:
             if cfg.TEST.EVAL_PERIOD and nxt % cfg.TEST.EVAL_PERIOD == 0:
                 self._eval_and_log()
         self.checkpointer.wait_until_finished()
+        if cfg.TEST.EXPECTED_RESULTS:
+            verify_results(cfg, self.test(model="teacher"))
 
     def _eval_and_log(self) -> None:
         results = self.test(model="teacher")
