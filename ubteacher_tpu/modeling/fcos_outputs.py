@@ -295,17 +295,25 @@ def fcos_supervised_losses(
 
     reg_pred = dense_reg_scalar(dense, cfg_fcos["reg_discrete"], cfg_fcos["reg_max"])
 
+    # background rows carry the argmin gt's ltrb, which can be degenerate
+    # (negative extents -> inf/NaN in the iou formulas even under a zero
+    # weight, since inf * 0 = NaN). Substitute unit boxes off-positives;
+    # every use below is masked by pos anyway.
+    safe_reg_targets = jnp.where(
+        targets.pos[..., None], targets.reg_targets, 1.0
+    )
+
     if cfg_fcos["quality_est"] == "centerness":
-        ctr_targets = L.compute_ctrness_targets(targets.reg_targets)
+        ctr_targets = L.compute_ctrness_targets(safe_reg_targets)
     else:  # 'iou'
         ctr_targets = L.compute_iou_targets(
-            jax.lax.stop_gradient(reg_pred), targets.reg_targets
+            jax.lax.stop_gradient(reg_pred), safe_reg_targets
         )
     ctr_targets = ctr_targets * pos_f
     loss_denorm = jnp.maximum(ctr_targets.sum(), 1e-6)
 
     iou_targets = L.compute_iou_targets(
-        jax.lax.stop_gradient(reg_pred), targets.reg_targets
+        jax.lax.stop_gradient(reg_pred), safe_reg_targets
     )
 
     ctr_loss = (
@@ -315,7 +323,7 @@ def fcos_supervised_losses(
     iou_reg_loss = (
         L.iou_loss(
             reg_pred,
-            targets.reg_targets,
+            safe_reg_targets,
             weight=ctr_targets,  # zero on non-positives
             loss_type=cfg_fcos["loc_loss_type"],
         )
@@ -328,7 +336,7 @@ def fcos_supervised_losses(
             unc = L.nl_loss(
                 reg_pred,
                 dense.reg_std,
-                targets.reg_targets,
+                safe_reg_targets,
                 iou_weight=iou_targets,
                 valid=pos_f,
             )
@@ -336,7 +344,7 @@ def fcos_supervised_losses(
             unc = L.kl_loss(
                 reg_pred,
                 dense.reg_std,
-                targets.reg_targets,
+                safe_reg_targets,
                 weight=ctr_targets,
                 loss_denorm=loss_denorm,
                 method=cfg_fcos["loc_fun_all"],
@@ -392,7 +400,8 @@ def fcos_pseudo_losses(
     ).sum(-1)
     class_loss = (cls_all * keep_f).sum() / num_pos_avg
 
-    ctr_t = L.compute_ctrness_targets(cls_targets.reg_targets) * pos_f
+    safe_cls_reg = jnp.where(cls_targets.pos[..., None], cls_targets.reg_targets, 1.0)
+    ctr_t = L.compute_ctrness_targets(safe_cls_reg) * pos_f
     ctr_loss = (
         L.bce_with_logits(dense.ctrness, ctr_t) * pos_f
     ).sum() / num_pos_avg
