@@ -1,0 +1,84 @@
+"""GSPMD data-parallel correctness: a sharded step must produce the same
+numbers as the identical unsharded step — the loss normalizers
+(num_pos_avg, loss_denorm) are global-batch sums, so the reference's
+per-GPU reduce_sum semantics (SURVEY §2c) fall out for free. This test
+guards that property on an 8-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ubteacher_tpu.config import add_ubteacher_config, get_cfg
+from ubteacher_tpu.engine import FCOSTrainState, make_fcos_train_steps
+from ubteacher_tpu.modeling.fcos_head import build_one_stage_detector
+from ubteacher_tpu.parallel import get_mesh, replicate, shard_batch
+from ubteacher_tpu.solver import build_optimizer
+from ubteacher_tpu.structures import PaddedInstances
+
+_CFG_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "configs", "FCOS", "coco-standard",
+    "fcos_R_50_ut2_sup1_run0.yaml",
+)
+
+
+def _setup():
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.merge_from_file(_CFG_PATH)
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.FCOS.NUM_CLASSES = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.MAX_GT = 4
+    cfg.TPU.MAX_PSEUDO = 10
+    cfg.TPU.NMS_CANDIDATES = 50
+    cfg.SEMISUPNET.BURN_UP_STEP = 100
+    cfg.freeze()
+
+    model = build_one_stage_detector(cfg)
+    b, h, w = 8, 64, 64
+    images = jnp.zeros((b, h, w, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images)["params"]
+    tx = build_optimizer(cfg, params)
+    burnin, _ = make_fcos_train_steps(cfg, model, tx)
+
+    rng = np.random.default_rng(0)
+    m = cfg.TPU.MAX_GT
+    boxes = np.zeros((b, m, 4), np.float32)
+    classes = rng.integers(0, 4, (b, m)).astype(np.int32)
+    mask = np.zeros((b, m), bool)
+    boxes[:, 0] = [8, 8, 40, 44]
+    boxes[:, 1] = [20, 16, 56, 60]
+    mask[:, :2] = True
+    gt = PaddedInstances(
+        jnp.asarray(boxes), jnp.asarray(classes), jnp.ones((b, m)),
+        jnp.zeros((b, m, 4)), jnp.asarray(mask),
+    )
+    imgs = jnp.asarray(
+        rng.normal(110, 40, (b, h, w, 3)).clip(0, 255).astype(np.float32)
+    )
+    batch = {"images_label_k": imgs, "gt_label": gt,
+             "images_unlabel_k": imgs, "rng": jax.random.PRNGKey(7)}
+    return cfg, params, tx, burnin, batch
+
+
+def test_sharded_step_matches_unsharded():
+    assert jax.device_count() >= 8
+    cfg, params, tx, burnin, batch = _setup()
+
+    # the steps donate their state arg, so each state needs its own buffers
+    state1 = FCOSTrainState.create(jax.tree.map(jnp.array, params), tx)
+    mesh = get_mesh(8)
+    state2 = FCOSTrainState.create(jax.tree.map(jnp.array, params), tx)
+    state2 = jax.device_put(state2, replicate(mesh))
+
+    _, metrics_unsharded = burnin(state1, batch)
+    m1 = {k: float(v) for k, v in jax.device_get(metrics_unsharded).items()}
+    sharded = shard_batch(batch, mesh)
+    _, metrics_sharded = burnin(state2, sharded)
+    m2 = {k: float(v) for k, v in jax.device_get(metrics_sharded).items()}
+
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
