@@ -186,17 +186,36 @@ class UBTeacherTrainer:
         # IterationTimer; we add real device traces): set UBT_PROFILE_DIR to
         # capture a jax.profiler trace of steps 10..20
         profile_dir = os.environ.get("UBT_PROFILE_DIR", "")
+
+        # one-batch device prefetch: ship batch i+1 host->device while the
+        # device executes step i (device_put is async)
+        pending = None
+
+        def next_device_batch():
+            nonlocal rng, pending
+            if pending is None:
+                b = next(data_iter)
+                rng, sub = jax.random.split(rng)
+                b["rng"] = sub
+                pending = shard_batch(b, self.mesh)
+            out = pending
+            try:
+                b = next(data_iter)
+                rng, sub = jax.random.split(rng)
+                b["rng"] = sub
+                pending = shard_batch(b, self.mesh)
+            except StopIteration:
+                pending = None
+            return out
+
         for it in range(self.start_iter, self.max_iter):
             if profile_dir and it == self.start_iter + 10:
                 jax.profiler.start_trace(profile_dir)
             if profile_dir and it == self.start_iter + 20:
                 jax.profiler.stop_trace()
             t_data = time.perf_counter()
-            batch = next(data_iter)
+            batch = next_device_batch()
             data_time = time.perf_counter() - t_data
-            rng, sub = jax.random.split(rng)
-            batch["rng"] = sub
-            batch = shard_batch(batch, self.mesh)
             # host-side branch on the step counter, like the reference's
             # python `if` (trainer.py:191/212)
             if it < burn_up:
