@@ -83,9 +83,13 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
             {"params": params}, pyramid, method=model.rpn
         )
         anch = _anchors_for(images.shape[1:3])
+        # proposals carry no gradients (reference: fast_rcnn.py:856-858
+        # "Proposals should not require gradients!"); the stop_gradient also
+        # keeps grad tracing out of the non-differentiable Pallas NMS kernel
         boxes, scores, mask = find_top_proposals(
             anch["anchors"], anch["level_lengths"], anch["level_ids"],
-            logits, deltas, _image_hw(images), rpn_box2box,
+            jax.lax.stop_gradient(logits), jax.lax.stop_gradient(deltas),
+            _image_hw(images), rpn_box2box,
             rpn_cfg.PRE_NMS_TOPK_TRAIN if train else rpn_cfg.PRE_NMS_TOPK_TEST,
             rpn_cfg.POST_NMS_TOPK_TRAIN if train else rpn_cfg.POST_NMS_TOPK_TEST,
             rpn_cfg.NMS_THRESH,

@@ -86,7 +86,14 @@ def nms_keep_pallas(
     iou_threshold: float,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in equivalent of ops.nms.nms_keep. Returns keep mask (K,)."""
+    """Drop-in equivalent of ops.nms.nms_keep. Returns keep mask (K,).
+
+    Non-differentiable by construction (the output is a boolean mask);
+    inputs are stop_gradient'ed so autodiff tracing never descends into the
+    pallas_call.
+    """
+    boxes = jax.lax.stop_gradient(boxes)
+    scores = jax.lax.stop_gradient(scores)
     k_in = boxes.shape[0]
     k = _round_up(k_in, 128)
 
