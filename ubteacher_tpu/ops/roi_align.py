@@ -172,18 +172,96 @@ def roi_align_matmul(
     return pooled
 
 
+def roi_align_windowed(
+    features: jnp.ndarray,   # (H, W, C) one image, one level
+    boxes: jnp.ndarray,      # (R, 4) xyxy image pixels
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    window: int = 64,
+    roi_chunk: int = 32,
+) -> jnp.ndarray:
+    """Windowed matmul ROIAlign: crop a fixed (window, window) region per
+    roi, then the two bilinear matmuls of roi_align_matmul against the
+    window instead of the full map (~15x fewer FLOPs at P2 scale).
+
+    Exact whenever the roi spans <= window feature pixels at this level —
+    guaranteed by FPN level assignment for in-range rois (a roi assigned to
+    level l spans ~[7, 30] px there); oversized rois clamp their outer
+    samples to the window edge.
+    """
+    h, w, c = features.shape
+    r = boxes.shape[0]
+    s = sampling_ratio
+    p = output_size
+    win_h = min(window, h)
+    win_w = min(window, w)
+    ys, xs = _sample_coords(boxes, spatial_scale, output_size, s)
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    # window origin: one pixel before the first sample, clipped so the
+    # window stays in-bounds
+    y0 = jnp.clip(jnp.floor(ys[:, 0]) - 1.0, 0, h - win_h).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs[:, 0]) - 1.0, 0, w - win_w).astype(jnp.int32)
+    ys_loc = jnp.clip(ys - y0[:, None], 0.0, win_h - 1.0)
+    xs_loc = jnp.clip(xs - x0[:, None], 0.0, win_w - 1.0)
+
+    hh = jnp.arange(win_h, dtype=jnp.float32)
+    ww = jnp.arange(win_w, dtype=jnp.float32)
+    wy = jnp.maximum(1.0 - jnp.abs(ys_loc[:, :, None] - hh[None, None, :]), 0.0)
+    wx = jnp.maximum(1.0 - jnp.abs(xs_loc[:, :, None] - ww[None, None, :]), 0.0)
+    wy = wy.astype(features.dtype)
+    wx = wx.astype(features.dtype)
+
+    chunk = min(roi_chunk, r)
+    pad = (-r) % chunk
+    if pad:
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+        y0 = jnp.pad(y0, (0, pad))
+        x0 = jnp.pad(x0, (0, pad))
+    n_chunks = (r + pad) // chunk
+    wy = wy.reshape(n_chunks, chunk, p * s, win_h)
+    wx = wx.reshape(n_chunks, chunk, p * s, win_w)
+    y0 = y0.reshape(n_chunks, chunk)
+    x0 = x0.reshape(n_chunks, chunk)
+
+    def do_chunk(args):
+        wy_c, wx_c, y0_c, x0_c = args
+
+        def crop(yy, xx):
+            return jax.lax.dynamic_slice(
+                features, (yy, xx, 0), (win_h, win_w, c)
+            )
+
+        crops = jax.vmap(crop)(y0_c, x0_c)  # (chunk, win_h, win_w, C)
+        t1 = jnp.einsum("kph,khwc->kpwc", wy_c, crops,
+                        preferred_element_type=jnp.float32)
+        out = jnp.einsum("kqw,kpwc->kpqc", wx_c, t1.astype(features.dtype),
+                         preferred_element_type=jnp.float32)
+        return out.astype(features.dtype)
+
+    pooled = jax.lax.map(do_chunk, (wy, wx, y0, x0))
+    pooled = pooled.reshape(-1, p * s, p * s, c)[:r]
+    return pooled.reshape(r, p, s, p, s, c).mean(axis=(2, 4))
+
+
 def multilevel_roi_align(
     pyramid: Dict[str, jnp.ndarray],   # {"p2": (B, H, W, C), ...}
     boxes: jnp.ndarray,                # (B, R, 4)
     in_features: Sequence[str] = ("p2", "p3", "p4", "p5"),
     output_size: int = 7,
     sampling_ratio: int = 2,
-    method: str = "matmul",
+    method: str = "windowed",
 ) -> jnp.ndarray:
     """(B, R, P, P, C) pooled from the per-roi assigned pyramid level."""
     levels = [int(f[1:]) for f in in_features]
     min_lvl, max_lvl = min(levels), max(levels)
-    align = roi_align_matmul if method == "matmul" else roi_align
+    align = {
+        "windowed": roi_align_windowed,
+        "matmul": roi_align_matmul,
+        "gather": roi_align,
+    }[method]
 
     def per_image(feats_list, boxes_i):
         assigned = assign_levels(boxes_i, min_lvl, max_lvl)  # (R,)
