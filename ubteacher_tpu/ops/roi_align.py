@@ -189,6 +189,12 @@ def roi_align_windowed(
     guaranteed by FPN level assignment for in-range rois (a roi assigned to
     level l spans ~[7, 30] px there); oversized rois clamp their outer
     samples to the window edge.
+
+    MEASURED (TPU v5e, RCNN mutual step @768x1344, same-process A/B):
+    windowed 826 ms vs full-map matmul 393 ms — the per-roi dynamic-slice
+    crops cost more HBM/gather time than the 15x FLOP reduction saves, so
+    `matmul` stays the default. Kept as the starting point for a future
+    Pallas kernel with scalar-prefetched DMA (which removes the gather).
     """
     h, w, c = features.shape
     r = boxes.shape[0]
@@ -252,7 +258,7 @@ def multilevel_roi_align(
     in_features: Sequence[str] = ("p2", "p3", "p4", "p5"),
     output_size: int = 7,
     sampling_ratio: int = 2,
-    method: str = "windowed",
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """(B, R, P, P, C) pooled from the per-roi assigned pyramid level."""
     levels = [int(f[1:]) for f in in_features]
