@@ -248,7 +248,7 @@ class COCOBboxEvaluator:
             s = s[s > -1]
             return float(np.mean(s)) if s.size else float("nan")
 
-        return {
+        results = {
             "AP": _summarize(True) * 100,
             "AP50": _summarize(True, iou_thr=0.5) * 100,
             "AP75": _summarize(True, iou_thr=0.75) * 100,
@@ -259,3 +259,12 @@ class COCOBboxEvaluator:
             "AR10": _summarize(False, max_det=10) * 100,
             "AR100": _summarize(False, max_det=100) * 100,
         }
+        # per-category AP (reference: coco_evaluation.py derives a
+        # per-category table from the precision tensor)
+        a = list(AREA_RANGES).index("all")
+        m = MAX_DETS.index(100)
+        for k in range(K):
+            s = precision[:, :, k, a, m]
+            s = s[s > -1]
+            results[f"AP-cat{k}"] = float(np.mean(s)) * 100 if s.size else float("nan")
+        return results
