@@ -1,0 +1,448 @@
+"""Windowed multi-level ROIAlign as Pallas TPU kernels.
+
+TPU-native replacement for detectron2's C++/CUDA ROIAlignV2 + ROIPooler
+(reference: ubteacher/modeling/roi_heads/roi_heads.py:40-45,118; SURVEY.md
+§2b), and for the XLA formulations in ops/roi_align.py. Why a kernel: the
+full-map matmul formulation wastes ~15x FLOPs (it contracts every roi
+against the whole feature map, on all 4 levels), while the XLA windowed
+variant pays per-roi dynamic-slice gathers that measured 2.1x slower than
+the waste it removes. Here the per-roi window crop is an **async DMA**
+(double-buffered, overlapped with the previous roi's matmul) and the FPN
+level is selected per roi inside the kernel (4 predicated DMA sources), so
+both sources of waste are gone.
+
+Math: bilinear interpolation along an axis is a sparse weight row
+w[p, h] = relu(1 - |y_p - h|); averaging the s x s samples per bin is
+linear, so it folds into the weights (wy_bin[p] = mean_i wy[p*s+i]). The
+whole pooled output for one roi is then ONE matmul:
+    out[(p,q), c] = sum_{(h,w)} W2[(p,q), (h,w)] * crop[(h,w), c]
+with W2 = kron(wy_bin, wx_bin) built by XLA outside the kernel. (P*P, W*W)
+@ (W*W, C) = (49, 1024) @ (1024, C) rides the MXU; all kernel reshapes
+only collapse/expand major dims (layout-preserving on TPU tiles).
+
+The backward (d/dfeatures only — proposals are detached, like D2's
+ROIAlign which never backprops to roi coords) is the exact transpose:
+dcrop = W2^T @ g per roi, accumulated into the per-level feature gradient
+by read-modify-write DMA. TPU grid steps run sequentially on a core, so
+overlapping roi windows accumulate without races.
+
+Oversized rois (clamped into p5 by FPN level assignment with a span larger
+than the window) clamp their outer samples to the window edge — documented
+deviation shared with ops.roi_align.roi_align_windowed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..roi_align import assign_levels
+
+# ---------------------------------------------------------------- host prep
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _win_wh(window) -> Tuple[int, int]:
+    """Normalize the window parameter to (win_h, win_w).
+
+    Capacity: a roi is pooled exactly when its sample span fits, i.e.
+    span_y <= win_h - 2 and span_x <= win_w - 9 (the W dim is
+    sublane-tiled (8) in the HBM layout of (B, H, W, C) maps, so the DMA
+    start x0 is aligned down to a multiple of 8, costing up to 7 px of
+    x capacity). D2 level assignment gives base spans in [14, 28) px on
+    the assigned level (x/y scaled by sqrt(ar) each way), so the default
+    (48, 56) is exact for aspect ratios up to ~2.8 at the worst-case base
+    span, and for whole-image rois clamped into p5 on canvases up to
+    ~1470 px. Beyond that, outer samples clamp to the window edge
+    (documented deviation, shared with roi_align_windowed)."""
+    if isinstance(window, int):
+        return window, _round_up(window, 8) + 8
+    win_h, win_w = window
+    if win_w % 8:
+        raise ValueError(f"win_w must be a multiple of 8, got {win_w}")
+    return win_h, win_w
+
+
+def _prep(
+    boxes: jnp.ndarray,        # (B, R, 4) xyxy image pixels
+    level_hw: Tuple[Tuple[int, int], ...],  # true (H, W) per level
+    levels: Tuple[int, ...],   # e.g. (2, 3, 4, 5)
+    output_size: int,
+    sampling_ratio: int,
+    window,
+):
+    """Per-roi level assignment, window origins and bin-collapsed bilinear
+    weights. Returns (bidx, lvl, y0, x0) int32 (N,) and wy, wx f32
+    (N, P, window)."""
+    b, r, _ = boxes.shape
+    n = b * r
+    win_h, win_w = _win_wh(window)
+    flat = boxes.reshape(n, 4)
+    min_lvl, max_lvl = min(levels), max(levels)
+    assigned = assign_levels(flat, min_lvl, max_lvl)      # (N,) absolute lvl
+    lvl_idx = assigned - min_lvl                          # (N,) 0-based
+    scale = 0.5 ** assigned.astype(jnp.float32)           # (N,)
+
+    hs = jnp.asarray([hw[0] for hw in level_hw], jnp.float32)[lvl_idx]
+    ws = jnp.asarray([hw[1] for hw in level_hw], jnp.float32)[lvl_idx]
+    # padded map sizes (what the DMA window must stay inside)
+    hp = jnp.asarray(
+        [max(hw[0], win_h) for hw in level_hw], jnp.float32
+    )[lvl_idx]
+    wp = jnp.asarray(
+        [_round_up(max(hw[1], win_w), 8) for hw in level_hw], jnp.float32
+    )[lvl_idx]
+
+    p, s = output_size, sampling_ratio
+    # aligned=True sample coords on the assigned level
+    x1 = flat[:, 0] * scale - 0.5
+    y1 = flat[:, 1] * scale - 0.5
+    x2 = flat[:, 2] * scale - 0.5
+    y2 = flat[:, 3] * scale - 0.5
+    roi_w = jnp.maximum(x2 - x1, 1e-6)
+    roi_h = jnp.maximum(y2 - y1, 1e-6)
+    frac = (jnp.arange(p * s, dtype=jnp.float32) + 0.5) / s    # bin units
+    ys = y1[:, None] + frac[None, :] * (roi_h / p)[:, None]    # (N, P*s)
+    xs = x1[:, None] + frac[None, :] * (roi_w / p)[:, None]
+    ys = jnp.clip(ys, 0.0, hs[:, None] - 1.0)   # clip to TRUE map extent so
+    xs = jnp.clip(xs, 0.0, ws[:, None] - 1.0)   # padding rows get weight 0
+    y0 = jnp.clip(jnp.floor(ys[:, 0]) - 1.0, 0.0, hp - win_h)
+    x0 = jnp.clip(jnp.floor(xs[:, 0]) - 1.0, 0.0, wp - win_w)
+    # HBM (B, H, W, C) maps are sublane-tiled on W: DMA start must be
+    # 8-aligned (clip bound already leaves room for the widened window)
+    x0 = jnp.floor(x0 / 8.0) * 8.0
+    ys_loc = jnp.clip(ys - y0[:, None], 0.0, win_h - 1.0)
+    xs_loc = jnp.clip(xs - x0[:, None], 0.0, win_w - 1.0)
+
+    hh = jnp.arange(win_h, dtype=jnp.float32)
+    ww_ = jnp.arange(win_w, dtype=jnp.float32)
+    wy = jnp.maximum(1.0 - jnp.abs(ys_loc[:, :, None] - hh), 0.0)  # (N,P*s,Wh)
+    wx = jnp.maximum(1.0 - jnp.abs(xs_loc[:, :, None] - ww_), 0.0)
+    # fold the s x s bin average into the weights
+    wy = wy.reshape(n, p, s, win_h).mean(axis=2)   # (N, P, win_h)
+    wx = wx.reshape(n, p, s, win_w).mean(axis=2)   # (N, P, win_w)
+
+    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    return (
+        bidx,
+        lvl_idx.astype(jnp.int32),
+        y0.astype(jnp.int32),
+        x0.astype(jnp.int32),
+        wy,
+        wx,
+    )
+
+
+def _padded_hw(h: int, w: int, window) -> Tuple[int, int]:
+    win_h, win_w = _win_wh(window)
+    return max(h, win_h), _round_up(max(w, win_w), 8)
+
+
+def _pad_levels(feats: Sequence[jnp.ndarray], window):
+    """Pad each (B, H, W, C) map so the window DMA stays in-bounds."""
+    out = []
+    for f in feats:
+        _, h, w, _ = f.shape
+        th, tw = _padded_hw(h, w, window)
+        if th > h or tw > w:
+            f = jnp.pad(f, ((0, 0), (0, th - h), (0, tw - w), (0, 0)))
+        out.append(f)
+    return tuple(out)
+
+
+def _w2(wy: jnp.ndarray, wx: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(N, P, Wh), (N, P, Ww) -> combined (N, P*P, Wh*Ww) kron weights."""
+    n, p, wh = wy.shape
+    ww = wx.shape[2]
+    w2 = wy[:, :, None, :, None] * wx[:, None, :, None, :]
+    return w2.reshape(n, p * p, wh * ww).astype(dtype)
+
+
+def _w2t(wy: jnp.ndarray, wx: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Transposed kron weights (N, Wh*Ww, P*P) for the backward matmul."""
+    n, p, wh = wy.shape
+    ww = wx.shape[2]
+    w2 = wy[:, :, None, :, None] * wx[:, None, :, None, :]
+    w2t = w2.transpose(0, 3, 4, 1, 2)
+    return w2t.reshape(n, wh * ww, p * p).astype(dtype)
+
+
+# ------------------------------------------------------------- fwd kernel
+
+
+def _fwd_kernel(
+    bidx, lvl, y0, x0,            # scalar prefetch (N,) int32
+    *rest,
+    nlev: int,
+    window,
+):
+    frefs = rest[:nlev]
+    w2_ref = rest[nlev]
+    out_ref = rest[nlev + 1]
+    crop = rest[nlev + 2]
+    sem = rest[nlev + 3]
+
+    win_h, win_w = _win_wh(window)
+    i = pl.program_id(0)
+    nrois = pl.num_programs(0)
+
+    def dma(slot, j, start):
+        b, l, yy, xx = bidx[j], lvl[j], y0[j], x0[j]
+        xx = pl.multiple_of(xx, 8)
+        for k in range(nlev):
+            copy = pltpu.make_async_copy(
+                frefs[k].at[b, pl.ds(yy, win_h), pl.ds(xx, win_w), :],
+                crop.at[slot],
+                sem.at[slot],
+            )
+
+            @pl.when(l == k)
+            def _(copy=copy):
+                if start:
+                    copy.start()
+                else:
+                    copy.wait()
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0, start=True)
+
+    @pl.when(i + 1 < nrois)
+    def _():
+        dma(1 - slot, i + 1, start=True)
+
+    dma(slot, i, start=False)
+
+    cr = crop[slot]                                   # (win_h, win_w, C)
+    crf = cr.reshape(win_h * win_w, cr.shape[-1])     # collapse major dims
+    out = jax.lax.dot_general(
+        w2_ref[0],
+        crf,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (P*P, C)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _fwd_call(feats, w2, bidx, lvl, y0, x0, *, window, interpret: bool):
+    nlev = len(feats)
+    n, pp, _ = w2.shape
+    c = feats[0].shape[-1]
+    dtype = feats[0].dtype
+    win_h, win_w = _win_wh(window)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlev
+        + [
+            pl.BlockSpec(
+                (1, pp, w2.shape[2]),
+                lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, pp, c), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_h, win_w, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, nlev=nlev, window=window),
+        out_shape=jax.ShapeDtypeStruct((n, pp, c), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bidx, lvl, y0, x0, *feats, w2)
+
+
+# ------------------------------------------------------------- bwd kernel
+
+
+def _bwd_kernel(
+    bidx, lvl, y0, x0,
+    *rest,
+    nlev: int,
+    window,
+):
+    # inputs: nlev zero-initialized grad buffers (aliased to outputs),
+    # w2t block, g block; outputs: nlev grad buffers; scratch: window + sem
+    zrefs = rest[:nlev]          # aliased: same buffers as outputs
+    w2t_ref = rest[nlev]
+    g_ref = rest[nlev + 1]
+    outs = rest[nlev + 2 : nlev + 2 + nlev]
+    acc = rest[2 * nlev + 2]
+    sem = rest[2 * nlev + 3]
+    del zrefs
+
+    win_h, win_w = _win_wh(window)
+    i = pl.program_id(0)
+    b, l, yy, xx = bidx[i], lvl[i], y0[i], x0[i]
+    xx = pl.multiple_of(xx, 8)
+
+    def window_dma(k, to_vmem):
+        region = outs[k].at[b, pl.ds(yy, win_h), pl.ds(xx, win_w), :]
+        if to_vmem:
+            return pltpu.make_async_copy(region, acc, sem)
+        return pltpu.make_async_copy(acc, region, sem)
+
+    # read current accumulation
+    for k in range(nlev):
+        @pl.when(l == k)
+        def _(k=k):
+            window_dma(k, to_vmem=True).start()
+
+    dcrop = jax.lax.dot_general(
+        w2t_ref[0],
+        g_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (W*W, C)
+    c = dcrop.shape[-1]
+
+    for k in range(nlev):
+        @pl.when(l == k)
+        def _(k=k):
+            window_dma(k, to_vmem=True).wait()
+
+    acc[...] = acc[...] + dcrop.reshape(win_h, win_w, c).astype(acc.dtype)
+
+    # write back; must complete before the next roi (possibly overlapping
+    # window) reads — grid steps are sequential, so waiting here suffices
+    for k in range(nlev):
+        @pl.when(l == k)
+        def _(k=k):
+            window_dma(k, to_vmem=False).start()
+
+    for k in range(nlev):
+        @pl.when(l == k)
+        def _(k=k):
+            window_dma(k, to_vmem=False).wait()
+
+
+def _bwd_call(
+    zero_feats, w2t, g, bidx, lvl, y0, x0, *, window, interpret: bool
+):
+    nlev = len(zero_feats)
+    n, ww, pp = w2t.shape
+    c = zero_feats[0].shape[-1]
+    dtype = zero_feats[0].dtype
+    win_h, win_w = _win_wh(window)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlev
+        + [
+            pl.BlockSpec(
+                (1, ww, pp), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, pp, c), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlev,
+        scratch_shapes=[
+            pltpu.VMEM((win_h, win_w, c), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, nlev=nlev, window=window),
+        out_shape=[
+            jax.ShapeDtypeStruct(f.shape, f.dtype) for f in zero_feats
+        ],
+        grid_spec=grid_spec,
+        # operand index space includes the 4 scalar-prefetch args
+        input_output_aliases={4 + k: k for k in range(nlev)},
+        interpret=interpret,
+    )(bidx, lvl, y0, x0, *zero_feats, w2t, g)
+
+
+# ----------------------------------------------------------------- wrapper
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
+)
+def multilevel_roi_align_pallas(
+    feats: Tuple[jnp.ndarray, ...],   # per level (B, H_l, W_l, C)
+    boxes: jnp.ndarray,               # (B, R, 4) xyxy image pixels
+    levels: Tuple[int, ...] = (2, 3, 4, 5),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    window=(48, 56),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, R, P, P, C) pooled from the per-roi assigned pyramid level.
+
+    Gradients flow to `feats` only; `boxes` get zero gradient (proposals
+    are detached in the reference trainer, SURVEY.md E2).
+    """
+    out, _ = _fwd(
+        feats, boxes, levels, output_size, sampling_ratio, window, interpret
+    )
+    return out
+
+
+def _fwd(feats, boxes, levels, output_size, sampling_ratio, window, interpret):
+    b, r, _ = boxes.shape
+    level_hw = tuple((f.shape[1], f.shape[2]) for f in feats)
+    bidx, lvl, y0, x0, wy, wx = _prep(
+        boxes, level_hw, levels, output_size, sampling_ratio, window
+    )
+    padded = _pad_levels(feats, window)
+    w2 = _w2(wy, wx, padded[0].dtype)
+    pooled = _fwd_call(
+        padded, w2, bidx, lvl, y0, x0, window=window, interpret=interpret
+    )                                                   # (N, P*P, C)
+    c = feats[0].shape[-1]
+    out = pooled.reshape(b, r, output_size, output_size, c)
+    return out, (feats, boxes)
+
+
+def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
+    feats, boxes = res
+    b, r, _ = boxes.shape
+    c = feats[0].shape[-1]
+    level_hw = tuple((f.shape[1], f.shape[2]) for f in feats)
+    bidx, lvl, y0, x0, wy, wx = _prep(
+        boxes, level_hw, levels, output_size, sampling_ratio, window
+    )
+    dtype = feats[0].dtype
+    w2t = _w2t(wy, wx, dtype)
+    gf = g.reshape(b * r, output_size * output_size, c).astype(dtype)
+    zero_padded = tuple(
+        jnp.zeros(
+            (f.shape[0], *_padded_hw(f.shape[1], f.shape[2], window), c),
+            dtype,
+        )
+        for f in feats
+    )
+    dpadded = _bwd_call(
+        zero_padded, w2t, gf, bidx, lvl, y0, x0,
+        window=window, interpret=interpret,
+    )
+    dfeats = tuple(
+        d[:, : f.shape[1], : f.shape[2], :] for d, f in zip(dpadded, feats)
+    )
+    return dfeats, jnp.zeros_like(boxes)
+
+
+multilevel_roi_align_pallas.defvjp(
+    lambda feats, boxes, levels, output_size, sampling_ratio, window,
+    interpret: _fwd(
+        feats, boxes, levels, output_size, sampling_ratio, window, interpret
+    ),
+    _bwd,
+)
