@@ -120,3 +120,60 @@ def test_small_feature_maps_padded():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(exact), rtol=1e-5, atol=1e-5
     )
+
+
+def test_shard_map_over_data_mesh_matches_unsharded():
+    """With an active mesh, the pallas path runs under shard_map (per-device
+    batch slice) instead of being silently replicated by GSPMD; results and
+    gradients match the unsharded call and the output stays batch-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ubteacher_tpu.parallel.mesh import get_mesh, set_active_mesh
+
+    feats, pyr, boxes = _make_case(seed=5, B=8, R=6)
+    mesh = get_mesh()
+    assert mesh.size == 8
+    sh = NamedSharding(mesh, P("data"))
+    feats_s = tuple(jax.device_put(f, sh) for f in feats)
+    boxes_s = jax.device_put(boxes, sh)
+
+    def pooled_sum(fs, bx):
+        return jnp.sum(
+            multilevel_roi_align(
+                {f"p{l}": f for l, f in zip(LEVELS, fs)},
+                bx,
+                IN_FEATURES,
+                7,
+                2,
+                method="pallas",
+            )
+            ** 2
+        )
+
+    ref_val = pooled_sum(feats, boxes)
+    ref_grad = jax.grad(pooled_sum)(feats, boxes)
+
+    set_active_mesh(mesh)
+    try:
+        fn = jax.jit(
+            lambda fs, bx: multilevel_roi_align(
+                {f"p{l}": f for l, f in zip(LEVELS, fs)},
+                bx,
+                IN_FEATURES,
+                7,
+                2,
+                method="pallas",
+            )
+        )
+        out = fn(feats_s, boxes_s)
+        assert "data" in str(out.sharding.spec), out.sharding
+        val = jax.jit(pooled_sum)(feats_s, boxes_s)
+        grad = jax.jit(jax.grad(pooled_sum))(feats_s, boxes_s)
+    finally:
+        set_active_mesh(None)
+
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    for a, b in zip(grad, ref_grad):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )

@@ -24,7 +24,7 @@ from ..data.coco import divide_label_unlabel, load_coco_json, load_coco_unlabel_
 from ..data.loader import TestDataLoader, TwoStreamDataLoader
 from ..evaluation import inference_on_dataset
 from ..modeling.fcos_head import build_one_stage_detector
-from ..parallel import get_mesh, replicate, shard_batch
+from ..parallel import get_mesh, replicate, set_active_mesh, shard_batch
 from ..solver import build_optimizer
 from ..utils.events import EventStorage, setup_logger
 from .fcos_trainer import FCOSTrainState, make_fcos_train_steps
@@ -139,6 +139,9 @@ class UBTeacherTrainer:
             cfg, self.model, self.tx
         )
         self.mesh = get_mesh(cfg.TPU.MESH_DATA)
+        # Pallas ops consult the active mesh to shard_map over `data`
+        # (GSPMD would otherwise replicate them on every device)
+        set_active_mesh(self.mesh)
         self.state = jax.device_put(self.state, replicate(self.mesh))
         self.checkpointer = TSCheckpointer(cfg.OUTPUT_DIR)
         self.start_iter = 0

@@ -372,9 +372,6 @@ def _bwd_call(
 # ----------------------------------------------------------------- wrapper
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
-)
 def multilevel_roi_align_pallas(
     feats: Tuple[jnp.ndarray, ...],   # per level (B, H_l, W_l, C)
     boxes: jnp.ndarray,               # (B, R, 4) xyxy image pixels
@@ -382,13 +379,35 @@ def multilevel_roi_align_pallas(
     output_size: int = 7,
     sampling_ratio: int = 2,
     window=(48, 56),
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """(B, R, P, P, C) pooled from the per-roi assigned pyramid level.
 
     Gradients flow to `feats` only; `boxes` get zero gradient (proposals
     are detached in the reference trainer, SURVEY.md E2).
-    """
+    interpret=None resolves by backend (compiled on TPU, interpreted
+    elsewhere, e.g. the CPU test mesh)."""
+    if interpret is None:
+        from jax.extend import backend as _jax_backend
+
+        interpret = _jax_backend.get_backend().platform != "tpu"
+    return _mra_pallas(
+        feats, boxes, levels, output_size, sampling_ratio, window, interpret
+    )
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
+)
+def _mra_pallas(
+    feats: Tuple[jnp.ndarray, ...],
+    boxes: jnp.ndarray,
+    levels: Tuple[int, ...],
+    output_size: int,
+    sampling_ratio: int,
+    window,
+    interpret: bool,
+) -> jnp.ndarray:
     out, _ = _fwd(
         feats, boxes, levels, output_size, sampling_ratio, window, interpret
     )
@@ -439,7 +458,7 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
     return dfeats, jnp.zeros_like(boxes)
 
 
-multilevel_roi_align_pallas.defvjp(
+_mra_pallas.defvjp(
     lambda feats, boxes, levels, output_size, sampling_ratio, window,
     interpret: _fwd(
         feats, boxes, levels, output_size, sampling_ratio, window, interpret

@@ -280,9 +280,35 @@ def multilevel_roi_align(
         from .pallas.roi_align_pallas import multilevel_roi_align_pallas
 
         feats = tuple(pyramid[f] for f in in_features)
-        return multilevel_roi_align_pallas(
-            feats, boxes, tuple(levels), output_size, sampling_ratio
-        )
+
+        def call(fs, bx):
+            return multilevel_roi_align_pallas(
+                fs, bx, tuple(levels), output_size, sampling_ratio
+            )
+
+        # Pallas is opaque to GSPMD (it would replicate the kernel on every
+        # device); shard over the registered data mesh explicitly.
+        from ..parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        if (
+            mesh is not None
+            and mesh.size > 1
+            and boxes.shape[0] % mesh.size == 0
+        ):
+            from jax.sharding import PartitionSpec as P
+
+            axes = tuple(mesh.axis_names)
+            spec = P(axes)
+            call = jax.shard_map(
+                call,
+                mesh=mesh,
+                in_specs=((spec,) * len(feats), spec),
+                out_specs=spec,
+                # pallas_call out_shapes carry no varying-axes info
+                check_vma=False,
+            )
+        return call(feats, boxes)
     align = {
         "windowed": roi_align_windowed,
         "matmul": roi_align_matmul,

@@ -20,6 +20,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    """Register the mesh the train/eval steps are sharded over.
+
+    Pallas kernels are opaque to GSPMD: under a sharded jit, XLA silently
+    REPLICATES them (all-gathers the inputs, computes the full batch on
+    every device — verified on an 8-device mesh). Ops that dispatch to
+    Pallas consult this to wrap the kernel in shard_map over the `data`
+    axis instead, keeping per-device work at batch/n."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
 def get_mesh(num_devices: int = -1) -> Mesh:
     """1-D data-parallel mesh over all (or the first N) visible devices."""
     devices = jax.devices()
