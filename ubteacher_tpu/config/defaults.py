@@ -314,6 +314,12 @@ def add_tpu_config(cfg: CN) -> None:
     _C.TPU.NMS_CANDIDATES = 1000
     # Compute dtype for conv towers ("bfloat16" or "float32").
     _C.TPU.COMPUTE_DTYPE = "bfloat16"
+    # compute the 7x7/s2 stem conv space-to-depth (4x4/s1 over 12 channels,
+    # same params & outputs). Measured NEUTRAL on the FCOS step and ~12 ms
+    # SLOWER on the RCNN step (the s2d reshape/transpose relayouts cost more
+    # than the lane-utilization win) -> off by default; kept for other
+    # canvas/batch regimes.
+    _C.TPU.STEM_SPACE_TO_DEPTH = False
     # Device mesh axis sizes; -1 means "all visible devices" on the data axis.
     _C.TPU.MESH_DATA = -1
     # Host data pipeline workers.

@@ -45,6 +45,68 @@ class FrozenBN(nn.Module):
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+class StemConv(nn.Module):
+    """The 7x7/s2 stem conv, optionally computed space-to-depth.
+
+    The naive form feeds a 3-channel image into the MXU: 3/128 lane
+    utilization (profiled at ~7% MXU efficiency, ~30 ms/step across the
+    teacher/student forward+backward instances of the FCOS mutual step).
+    With `space_to_depth`, the input is rearranged to (H/2, W/2, 12) and
+    the SAME kernel is zero-padded 7->8 and regrouped into an equivalent
+    4x4/s1 conv over 12 channels — identical outputs (up to bf16
+    accumulation order), 4x the lane utilization, and no stride-2 input
+    relayout. The parameter tree is unchanged (stem_conv1/kernel, (7,7,3,C)),
+    so torch-converted checkpoints load either way.
+    """
+
+    features: int
+    space_to_depth: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.lax as lax
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, cin, self.features),
+            jnp.float32,
+        )
+        b, h, w, _ = x.shape
+        if not self.space_to_depth or h % 2 or w % 2:
+            return lax.conv_general_dilated(
+                x,
+                kernel.astype(self.dtype),
+                (2, 2),
+                ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        # x -> (B, H/2, W/2, (dy, dx, c)); out(i,j) of the 7x7/s2 conv reads
+        # x[2i+ky-3] with ky = 2a+dy-1, a in 0..3 — i.e. a 4x4/s1 conv over
+        # the depth-packed input with the kernel regrouped the same way
+        # (leading zero-pad supplies the ky=-1 tap).
+        x2 = (
+            x.reshape(b, h // 2, 2, w // 2, 2, cin)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, w // 2, 4 * cin)
+        )
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8,8,c,o)
+        k2 = (
+            k8.reshape(4, 2, 4, 2, cin, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * cin, self.features)
+        )
+        return lax.conv_general_dilated(
+            x2,
+            k2.astype(self.dtype),
+            (1, 1),
+            ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class BottleneckBlock(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck with FrozenBN; caffe variant puts the
     stride on the 1x1 (STRIDE_IN_1X1=True, D2 default for MSRA weights)."""
@@ -99,16 +161,16 @@ class ResNet(nn.Module):
     stride_in_1x1: bool = True
     stem_out_channels: int = 64
     res2_out_channels: int = 256
+    stem_space_to_depth: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.dtype)
         # stem: 7x7/2 + frozen BN + relu + maxpool 3x3/2 (torch paddings)
-        x = nn.Conv(
-            self.stem_out_channels, (7, 7), strides=(2, 2),
-            padding=((3, 3), (3, 3)), use_bias=False, dtype=self.dtype,
-            name="stem_conv1",
+        x = StemConv(
+            self.stem_out_channels, space_to_depth=self.stem_space_to_depth,
+            dtype=self.dtype, name="stem_conv1",
         )(x)
         x = FrozenBN(self.stem_out_channels, name="stem_conv1_norm")(x)
         x = nn.relu(x)
@@ -150,5 +212,6 @@ def resnet_from_cfg(cfg, dtype=None) -> ResNet:
         stride_in_1x1=r.STRIDE_IN_1X1,
         stem_out_channels=r.STEM_OUT_CHANNELS,
         res2_out_channels=r.RES2_OUT_CHANNELS,
+        stem_space_to_depth=cfg.TPU.STEM_SPACE_TO_DEPTH,
         dtype=dtype if dtype is not None else jnp.bfloat16,
     )

@@ -159,20 +159,18 @@ def _pad_levels(feats: Sequence[jnp.ndarray], window):
 
 
 def _w2(wy: jnp.ndarray, wx: jnp.ndarray, dtype) -> jnp.ndarray:
-    """(N, P, Wh), (N, P, Ww) -> combined (N, P*P, Wh*Ww) kron weights."""
+    """(N, P, Wh), (N, P, Ww) -> combined (N, P*P, Wh*Ww) kron weights.
+
+    Cast BEFORE the outer product so XLA writes the (large) kron directly
+    in the compute dtype — a separate f32 materialization + convert pass
+    measured ~11 ms/step at RCNN shapes. The backward reuses this same
+    array (contracting its P*P dim), so no transposed copy exists."""
     n, p, wh = wy.shape
     ww = wx.shape[2]
+    wy = wy.astype(dtype)
+    wx = wx.astype(dtype)
     w2 = wy[:, :, None, :, None] * wx[:, None, :, None, :]
-    return w2.reshape(n, p * p, wh * ww).astype(dtype)
-
-
-def _w2t(wy: jnp.ndarray, wx: jnp.ndarray, dtype) -> jnp.ndarray:
-    """Transposed kron weights (N, Wh*Ww, P*P) for the backward matmul."""
-    n, p, wh = wy.shape
-    ww = wx.shape[2]
-    w2 = wy[:, :, None, :, None] * wx[:, None, :, None, :]
-    w2t = w2.transpose(0, 3, 4, 1, 2)
-    return w2t.reshape(n, wh * ww, p * p).astype(dtype)
+    return w2.reshape(n, p * p, wh * ww)
 
 
 # ------------------------------------------------------------- fwd kernel
@@ -277,9 +275,9 @@ def _bwd_kernel(
     window,
 ):
     # inputs: nlev zero-initialized grad buffers (aliased to outputs),
-    # w2t block, g block; outputs: nlev grad buffers; scratch: window + sem
+    # w2 block, g block; outputs: nlev grad buffers; scratch: window + sem
     zrefs = rest[:nlev]          # aliased: same buffers as outputs
-    w2t_ref = rest[nlev]
+    w2_ref = rest[nlev]
     g_ref = rest[nlev + 1]
     outs = rest[nlev + 2 : nlev + 2 + nlev]
     acc = rest[2 * nlev + 2]
@@ -303,10 +301,12 @@ def _bwd_kernel(
         def _(k=k):
             window_dma(k, to_vmem=True).start()
 
+    # dcrop[(hw), c] = sum_pq W2[(pq), (hw)] * g[(pq), c] — the fwd W2
+    # contracted on its FIRST dim, so no transposed weight copy is needed
     dcrop = jax.lax.dot_general(
-        w2t_ref[0],
+        w2_ref[0],
         g_ref[0],
-        (((1,), (0,)), ((), ())),
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                  # (W*W, C)
     c = dcrop.shape[-1]
@@ -332,10 +332,10 @@ def _bwd_kernel(
 
 
 def _bwd_call(
-    zero_feats, w2t, g, bidx, lvl, y0, x0, *, window, interpret: bool
+    zero_feats, w2, g, bidx, lvl, y0, x0, *, window, interpret: bool
 ):
     nlev = len(zero_feats)
-    n, ww, pp = w2t.shape
+    n, pp, ww = w2.shape
     c = zero_feats[0].shape[-1]
     dtype = zero_feats[0].dtype
     win_h, win_w = _win_wh(window)
@@ -345,7 +345,7 @@ def _bwd_call(
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlev
         + [
             pl.BlockSpec(
-                (1, ww, pp), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, pp, ww), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, pp, c), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -366,7 +366,7 @@ def _bwd_call(
         # operand index space includes the 4 scalar-prefetch args
         input_output_aliases={4 + k: k for k in range(nlev)},
         interpret=interpret,
-    )(bidx, lvl, y0, x0, *zero_feats, w2t, g)
+    )(bidx, lvl, y0, x0, *zero_feats, w2, g)
 
 
 # ----------------------------------------------------------------- wrapper
@@ -439,7 +439,7 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
         boxes, level_hw, levels, output_size, sampling_ratio, window
     )
     dtype = feats[0].dtype
-    w2t = _w2t(wy, wx, dtype)
+    w2 = _w2(wy, wx, dtype)
     gf = g.reshape(b * r, output_size * output_size, c).astype(dtype)
     zero_padded = tuple(
         jnp.zeros(
@@ -449,7 +449,7 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
         for f in feats
     )
     dpadded = _bwd_call(
-        zero_padded, w2t, gf, bidx, lvl, y0, x0,
+        zero_padded, w2, gf, bidx, lvl, y0, x0,
         window=window, interpret=interpret,
     )
     dfeats = tuple(
