@@ -62,3 +62,39 @@ def test_trainable_mask_freezes_stem_res2_and_frozenbn():
     assert mask["backbone"]["res3_block0"]["conv1"]["kernel"] is True
     assert mask["backbone"]["res3_block0"]["conv1_norm"]["scale"] is False
     assert mask["head"]["cls_logits"]["kernel"] is True
+
+
+def test_stop_frozen_gradients_kills_frozen_grads():
+    """grad through stop_frozen_gradients is zero exactly on frozen leaves
+    (FrozenBN + stem/res2 for FREEZE_AT=2) and non-zero elsewhere."""
+    import jax
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.solver import stop_frozen_gradients
+
+    params = {
+        "backbone": {
+            "stem_conv1": {"kernel": jnp.ones((2, 2))},
+            "stem_conv1_norm": {"scale": jnp.ones((2,))},
+            "res2_block0": {"conv1": {"kernel": jnp.ones((2, 2))}},
+            "res3_block0": {
+                "conv1": {"kernel": jnp.ones((2, 2))},
+                "conv1_norm": {"scale": jnp.ones((2,))},
+            },
+        },
+        "head": {"cls_logits": {"kernel": jnp.ones((2, 2))}},
+    }
+
+    def loss(p):
+        p = stop_frozen_gradients(p, freeze_at=2)
+        return sum(jnp.sum(x**2) for x in jax.tree.leaves(p))
+
+    g = jax.grad(loss)(params)
+    bb = g["backbone"]
+    assert float(jnp.abs(bb["stem_conv1"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(bb["stem_conv1_norm"]["scale"]).max()) == 0.0
+    assert float(jnp.abs(bb["res2_block0"]["conv1"]["kernel"]).max()) == 0.0
+    # FrozenBN frozen even inside trainable stages
+    assert float(jnp.abs(bb["res3_block0"]["conv1_norm"]["scale"]).max()) == 0.0
+    assert float(jnp.abs(bb["res3_block0"]["conv1"]["kernel"]).max()) > 0.0
+    assert float(jnp.abs(g["head"]["cls_logits"]["kernel"]).max()) > 0.0

@@ -40,6 +40,7 @@ from ..modeling.fcos_outputs import (
     level_feature_sizes,
     threshold_pseudo_labels,
 )
+from ..solver.build import stop_frozen_gradients
 from ..structures import PaddedInstances
 
 
@@ -95,6 +96,7 @@ def make_fcos_train_steps(
     w_unsup = sem.UNSUP_LOSS_WEIGHT
     w_reg_unsup = sem.UNSUP_REG_LOSS_WEIGHT
     max_pseudo = cfg.TPU.MAX_PSEUDO
+    freeze_at = cfg.MODEL.BACKBONE.FREEZE_AT
 
     def _sup_losses(params, images, gt):
         dense = model.apply({"params": params}, images)
@@ -112,6 +114,7 @@ def make_fcos_train_steps(
         label_q = strong_augment(batch["images_label_k"], batch["rng"])
 
         def loss_fn(params):
+            params = stop_frozen_gradients(params, freeze_at)
             images = jnp.concatenate([label_q, batch["images_label_k"]], axis=0)
             gt2 = jax.tree.map(
                 lambda x: jnp.concatenate([x, x], axis=0), batch["gt_label"]
@@ -200,6 +203,7 @@ def make_fcos_train_steps(
         unl_q = strong_augment(batch["images_unlabel_k"], k_unlabel)
 
         def loss_fn(params):
+            params = stop_frozen_gradients(params, freeze_at)
             images_l = jnp.concatenate([label_q, batch["images_label_k"]], axis=0)
             gt2 = jax.tree.map(
                 lambda x: jnp.concatenate([x, x], axis=0), batch["gt_label"]

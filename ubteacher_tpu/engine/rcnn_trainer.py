@@ -39,6 +39,7 @@ from ..modeling.fast_rcnn import (
     sample_proposals_batch,
 )
 from ..modeling.rpn import find_top_proposals, label_anchors, rpn_losses
+from ..solver.build import stop_frozen_gradients
 from ..structures import PaddedInstances
 from .fcos_trainer import FCOSTrainState, _ema_update
 
@@ -177,6 +178,7 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         label_q = strong_augment(batch["images_label_k"], k_aug)
 
         def loss_fn(params):
+            params = stop_frozen_gradients(params, cfg.MODEL.BACKBONE.FREEZE_AT)
             images = jnp.concatenate([label_q, batch["images_label_k"]], 0)
             gt2 = jax.tree.map(
                 lambda x: jnp.concatenate([x, x], 0), batch["gt_label"]
@@ -228,6 +230,7 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         unl_q = strong_augment(unl_k, k_aug_u)
 
         def loss_fn(params):
+            params = stop_frozen_gradients(params, cfg.MODEL.BACKBONE.FREEZE_AT)
             images_l = jnp.concatenate([label_q, batch["images_label_k"]], 0)
             gt2 = jax.tree.map(
                 lambda x: jnp.concatenate([x, x], 0), batch["gt_label"]

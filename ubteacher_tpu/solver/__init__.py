@@ -1,3 +1,13 @@
-from .build import build_lr_schedule, build_optimizer, trainable_mask
+from .build import (
+    build_lr_schedule,
+    build_optimizer,
+    stop_frozen_gradients,
+    trainable_mask,
+)
 
-__all__ = ["build_lr_schedule", "build_optimizer", "trainable_mask"]
+__all__ = [
+    "build_lr_schedule",
+    "build_optimizer",
+    "stop_frozen_gradients",
+    "trainable_mask",
+]

@@ -94,6 +94,24 @@ def trainable_mask(params: Dict, freeze_at: int = 2) -> Dict:
     return walk(params, ())
 
 
+def stop_frozen_gradients(params: Dict, freeze_at: int = 2) -> Dict:
+    """Apply stop_gradient to every frozen leaf (trainable_mask == False).
+
+    The reference never computes gradients for frozen params at all
+    (requires_grad=False on FrozenBN and stem/res2, detectron2 FREEZE_AT
+    semantics); the optax mask in build_optimizer only zeroes their
+    *updates*, so without this XLA would still emit every frozen-weight
+    grad conv and every FrozenBN scale/bias reduce_sum in the backward —
+    and the activation-grad chain below the first trainable stage.
+    Calling this on the params inside the loss function lets XLA
+    dead-code-eliminate all of it (profiled ~10% of FCOS step device time).
+    """
+    mask = trainable_mask(params, freeze_at)
+    return jax.tree.map(
+        lambda p, m: p if m else jax.lax.stop_gradient(p), params, mask
+    )
+
+
 def build_optimizer(cfg, params: Dict) -> optax.GradientTransformation:
     """SGD + momentum + weight decay with the D2 freezing mask and optional
     gradient clipping. LR comes from build_lr_schedule."""
