@@ -37,6 +37,8 @@ def capture(args) -> str:
     add_ubteacher_config(cfg)
     cfg.merge_from_file(args.config)
     cfg.SEMISUPNET.BURN_UP_STEP = 0
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     cfg.freeze()
 
     if args.rcnn:
@@ -146,6 +148,10 @@ def main() -> None:
     ap.add_argument(
         "--config",
         default="configs/FCOS/coco-standard/fcos_R_50_ut2_sup1_run0.yaml",
+    )
+    ap.add_argument(
+        "--opts", nargs="*", default=[],
+        help="config KEY VALUE overrides, train_net.py style",
     )
     ap.add_argument(
         "--report-only",

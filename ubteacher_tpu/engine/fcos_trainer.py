@@ -98,14 +98,17 @@ def make_fcos_train_steps(
     max_pseudo = cfg.TPU.MAX_PSEUDO
     freeze_at = cfg.MODEL.BACKBONE.FREEZE_AT
 
-    def _sup_losses(params, images, gt):
-        dense = model.apply({"params": params}, images)
-        grid = compute_locations(images.shape[1:3], strides)
+    def _sup_losses_from_dense(dense, hw, gt):
+        grid = compute_locations(hw, strides)
         targets = fcos_assign_targets(
             grid, gt, fcfg["num_classes"], fcfg["center_sample"],
             fcfg["pos_radius"],
         )
         return fcos_supervised_losses(dense, targets, fcfg)
+
+    def _sup_losses(params, images, gt):
+        dense = model.apply({"params": params}, images)
+        return _sup_losses_from_dense(dense, images.shape[1:3], gt)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def burnin_step(state: FCOSTrainState, batch: Dict[str, Any]):
@@ -208,9 +211,22 @@ def make_fcos_train_steps(
             gt2 = jax.tree.map(
                 lambda x: jnp.concatenate([x, x], axis=0), batch["gt_label"]
             )
-            sup = _sup_losses(params, images_l, gt2)
+            if unl_q.shape[1:3] == images_l.shape[1:3]:
+                # one backbone+head launch over labeled strong+weak AND
+                # unlabeled strong (same canvas): one conv dispatch per
+                # layer at batch 3B instead of 2B + B
+                dense_all = model.apply(
+                    {"params": params},
+                    jnp.concatenate([images_l, unl_q], axis=0),
+                )
+                nl = images_l.shape[0]
+                dense_l = jax.tree.map(lambda x: x[:nl], dense_all)
+                dense_u = jax.tree.map(lambda x: x[nl:], dense_all)
+            else:  # mixed aspect buckets: separate programs per canvas
+                dense_l = model.apply({"params": params}, images_l)
+                dense_u = model.apply({"params": params}, unl_q)
+            sup = _sup_losses_from_dense(dense_l, images_l.shape[1:3], gt2)
 
-            dense_u = model.apply({"params": params}, unl_q)
             grid_u = compute_locations(unl_q.shape[1:3], strides)
             cls_targets = fcos_assign_targets(
                 grid_u, pseudo_cls, fcfg["num_classes"],
