@@ -73,3 +73,29 @@ def test_weak_augment_transforms_boxes():
     # with this seed flip triggers or not; just validate box stays in canvas
     b = rec_f["boxes"][0]
     assert 0 <= b[0] < b[2] <= 256 and 0 <= b[1] < b[3] <= 256
+
+
+def test_gaussian_blur_matches_edge_padded_conv():
+    """The banded-matmul blur equals an edge-padded separable convolution
+    (data/augment.py:_gaussian_blur)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ubteacher_tpu.data.augment import _gaussian_blur
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (17, 23, 3)).astype(np.float32)
+    sigma, taps, half = 1.3, 9, 4
+    d = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(d**2) / (2 * sigma**2))
+    k /= k.sum()
+
+    xp = np.pad(x, ((half, half), (half, half), (0, 0)), mode="edge")
+    tmp = np.zeros_like(xp)
+    for t in range(taps):  # along W
+        tmp[:, half:-half] += k[t] * xp[:, t:t + x.shape[1]]
+    out = np.zeros_like(x)
+    for t in range(taps):  # along H
+        out += k[t] * tmp[t:t + x.shape[0], half:-half]
+
+    got = np.asarray(_gaussian_blur(jnp.asarray(x), jnp.float32(sigma)))
+    np.testing.assert_allclose(got, out, atol=2e-5)

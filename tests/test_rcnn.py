@@ -219,3 +219,59 @@ def test_rcnn_train_steps_smoke():
                  jnp.asarray([[h, w], [h, w]], jnp.float32))
     assert dets.boxes.shape[0] == b
     assert dets.mask.dtype == bool
+
+
+def test_label_anchors_sample_first():
+    """Sample-first labeling: balanced counts, correct matched boxes, and
+    rpn_losses consuming only the sampled rows (modeling/rpn.py)."""
+    from ubteacher_tpu.modeling.rpn import label_anchors, rpn_losses
+
+    # 1 gt box; anchors: one perfect match, one partial, rest far away
+    anchors = np.full((40, 4), 500.0, np.float32)
+    anchors[:, 2:] += 10.0
+    anchors[0] = [10, 10, 30, 30]    # IoU 1.0 with gt -> positive
+    anchors[1] = [18, 10, 38, 30]    # IoU ~0.43 -> ignore band [0.3, 0.7)
+    anchors = jnp.asarray(anchors)
+    m = 5
+    gtb = np.zeros((m, 4), np.float32)
+    gtb[0] = [10, 10, 30, 30]
+    gt = PaddedInstances(
+        jnp.asarray(gtb), jnp.zeros((m,), jnp.int32),
+        jnp.full((m,), 0.9, jnp.float32), jnp.zeros((m, 4)),
+        jnp.asarray(np.eye(1, m, 0, dtype=bool)[0]),
+    )
+    s = label_anchors(anchors, gt, 8, 0.5, jax.random.PRNGKey(0), True)
+    assert s["idx"].shape == (4 + 8,)
+    assert int(s["ok"].sum()) == 8           # exactly batch_size sampled
+    pos = np.asarray((s["labels"] == 1) & s["ok"])
+    neg = np.asarray((s["labels"] == 0) & s["ok"])
+    idx = np.asarray(s["idx"])
+    assert pos.sum() == 1 and idx[pos.argmax()] == 0   # the IoU-1 anchor
+    assert neg.sum() == 7
+    np.testing.assert_allclose(
+        np.asarray(s["boxes"])[pos.argmax()], [10, 10, 30, 30]
+    )
+    np.testing.assert_allclose(np.asarray(s["confid"])[pos.argmax()], 0.9)
+
+    # losses over the sampled rows only; gradients well-defined
+    b2b = Box2BoxTransform((1.0, 1.0, 1.0, 1.0))
+    logits = jnp.zeros((1, 40))
+    deltas = jnp.zeros((1, 40, 4))
+    batched = jax.tree.map(lambda x: x[None], s)
+    out = rpn_losses(anchors, logits, deltas, batched, b2b, 8)
+    # perfect-match positive at zero deltas -> zero loc loss
+    np.testing.assert_allclose(float(out["loss_rpn_loc"]), 0.0, atol=1e-6)
+    # BCE(0 logit) = ln 2 for each sampled anchor; confid 0.9 everywhere
+    np.testing.assert_allclose(
+        float(out["loss_rpn_cls"]), 8 * np.log(2.0) * 0.9 / 8, rtol=1e-5
+    )
+
+    # no-gt image: all-background sample, zero matched boxes
+    gt0 = PaddedInstances(
+        jnp.zeros((m, 4)), jnp.zeros((m,), jnp.int32), jnp.zeros((m,)),
+        jnp.zeros((m, 4)), jnp.zeros((m,), bool),
+    )
+    s0 = label_anchors(anchors, gt0, 8, 0.5, jax.random.PRNGKey(1), False)
+    assert int(((s0["labels"] == 1) & s0["ok"]).sum()) == 0
+    assert int(s0["ok"].sum()) == 8
+    np.testing.assert_allclose(np.asarray(s0["confid"]), 1.0)

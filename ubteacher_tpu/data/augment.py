@@ -177,28 +177,41 @@ def _grayscale(x):
     return jnp.broadcast_to(g, x.shape)
 
 
+def _blur_band_matrix(n: int, k: jnp.ndarray, half: int) -> jnp.ndarray:
+    """(n, n) matrix M with M[i, j] = sum of tap weights k[t] over all t
+    with clip(i + t, 0, n-1) == j — i.e. an edge-padded 1-D convolution as
+    a banded matmul. Built with `taps` scatter-adds (trace-time loop)."""
+    i = jnp.arange(n)
+    m = jnp.zeros((n, n), k.dtype)
+    for t in range(-half, half + 1):
+        j = jnp.clip(i + t, 0, n - 1)
+        m = m.at[i, j].add(k[t + half])
+    return m
+
+
 def _gaussian_blur(x, sigma, taps: int = 9):
-    """Separable Gaussian blur with per-image sigma (PIL radius=sigma),
-    as two depthwise convolutions (one HBM pass each, vs 2*taps shifted
-    adds)."""
+    """Separable Gaussian blur with per-image sigma (PIL radius=sigma).
+
+    Implemented as two banded matmuls (one per axis) instead of 3-channel
+    depthwise convolutions: a 3-feature conv uses 3/128 MXU lanes and XLA
+    pads/relayouts around it (~12 ms/step profiled on v5e at batch 12),
+    while the (W, W)/(H, H) band matrices ride the MXU at full tilt for
+    ~0.2 GFLOP/image. Edge clamping is folded into the band matrices, so
+    this equals the edge-padded conv exactly.
+    """
     half = taps // 2
     d = jnp.arange(-half, half + 1, dtype=jnp.float32)
     k = jnp.exp(-(d**2) / (2.0 * jnp.maximum(sigma, 1e-3) ** 2))
     k = (k / k.sum()).astype(x.dtype)
 
-    c = x.shape[-1]
-    xb = jnp.pad(x, ((half, half), (half, half), (0, 0)), mode="edge")[None]
-    kh = jnp.tile(k.reshape(taps, 1, 1, 1), (1, 1, 1, c))  # (taps,1,1,C)
-    kw = jnp.tile(k.reshape(1, taps, 1, 1), (1, 1, 1, c))
-    dn = jax.lax.conv_dimension_numbers(xb.shape, kh.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    xb = jax.lax.conv_general_dilated(
-        xb, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
-    )
-    xb = jax.lax.conv_general_dilated(
-        xb, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
-    )
-    return xb[0]
+    h, w = x.shape[0], x.shape[1]
+    # out[i] = sum_j M[i, j] x[j]: contract M's second index (M is only
+    # symmetric away from the clamped edges)
+    mw = _blur_band_matrix(w, k, half)             # (W, W)
+    x = jnp.einsum("hwc,vw->hvc", x, mw)
+    mh = _blur_band_matrix(h, k, half)             # (H, H)
+    x = jnp.einsum("hwc,uh->uwc", x, mh)
+    return x
 
 
 def _random_erase(x, key, p, scale, ratio):

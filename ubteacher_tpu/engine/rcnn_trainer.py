@@ -116,9 +116,7 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
             )
         )(gt, anchor_keys)
         rpn_l = rpn_losses(
-            anch["anchors"], logits, deltas, labeled["labels"],
-            labeled["boxes"],
-            labeled["confid"] if use_confidence else None,
+            anch["anchors"], logits, deltas, labeled,
             rpn_box2box, rpn_cfg.BATCH_SIZE_PER_IMAGE,
             rpn_cfg.SMOOTH_L1_BETA,
         )

@@ -23,7 +23,7 @@ from ..ops import losses as L
 from ..ops.boxes import clip_boxes
 from ..ops.nms import batched_nms_keep, top_k_detections
 from .box_regression import Box2BoxTransform
-from .matcher import match, match_quality, subsample_labels
+from .matcher import NEG_INF, match, match_quality
 
 
 class RPNHead(nn.Module):
@@ -71,49 +71,86 @@ def label_anchors(
     rng: jnp.ndarray,
     use_confidence: bool,
 ) -> Dict[str, jnp.ndarray]:
-    """Match + subsample for one image (reference: rpn.py:78-150).
-    Returns labels (A,) in {-1,0,1}, matched gt boxes (A,4), confid (A,)."""
+    """Match + subsample for one image (reference: rpn.py:78-150),
+    sample-first: only the <= batch_size_per_image training anchors are
+    materialized. The losses never touch full-(A,) tensors, so the
+    matched-gt gather is K rows instead of A (A ~ 258k at 768x1344; the
+    full-width form cost ~40 ms/step of gathers + argsorts on v5e).
+
+    Returns (K = num_pos_desired + batch_size_per_image rows, of which
+    exactly min(batch_size_per_image, available) carry ok=True):
+      idx (K,) anchor indices; labels (K,) {1 pos, 0 neg}; ok (K,) sample
+      validity; boxes (K, 4) matched gt; confid (K,) teacher scores (ones
+      when not use_confidence).
+    """
     quality = match_quality(gt.boxes, gt.mask, anchors)  # (M, A)
     matched_idxs, labels = match(
         quality, thresholds=(0.3, 0.7), labels=(0, -1, 1),
         allow_low_quality=True,
     )
-    labels = subsample_labels(labels, batch_size_per_image, positive_fraction, rng)
+    # D2 subsample_labels semantics: up to pf*N random positives, negatives
+    # fill the remaining slots. Random-priority top-k keeps it fixed-shape.
+    kp, kn = jax.random.split(rng)
+    a = labels.shape[0]
+    num_pos_desired = min(int(batch_size_per_image * positive_fraction), a)
+    num_neg_slots = min(batch_size_per_image, a)
+    pos_pri = jnp.where(labels == 1, jax.random.uniform(kp, (a,)), NEG_INF)
+    pos_vals, pos_idx = jax.lax.top_k(pos_pri, num_pos_desired)
+    pos_ok = pos_vals > NEG_INF / 2
+    n_pos = pos_ok.sum()
+    neg_pri = jnp.where(labels == 0, jax.random.uniform(kn, (a,)), NEG_INF)
+    neg_vals, neg_idx = jax.lax.top_k(neg_pri, num_neg_slots)
+    neg_ok = (
+        jnp.arange(num_neg_slots) < batch_size_per_image - n_pos
+    ) & (neg_vals > NEG_INF / 2)
+
+    idx = jnp.concatenate([pos_idx, neg_idx])
+    sel_labels = jnp.concatenate(
+        [jnp.ones_like(pos_idx), jnp.zeros_like(neg_idx)]
+    )
+    ok = jnp.concatenate([pos_ok, neg_ok])
+    # images with no (valid) gt have quality == -1 everywhere -> no
+    # positives can be sampled; the set is all-background automatically
     any_gt = gt.mask.any()
-    matched_boxes = jnp.where(any_gt, gt.boxes[matched_idxs], 0.0)
+    mi = matched_idxs[idx]
+    boxes = jnp.where(any_gt, gt.boxes[mi], 0.0)
     if use_confidence:
-        confid = jnp.where(any_gt, gt.scores[matched_idxs], 0.0)
+        confid = jnp.where(any_gt, gt.scores[mi], 0.0)
     else:
-        confid = jnp.ones_like(labels, jnp.float32)
-    # images with no gt: everything stays background/ignore
-    labels = jnp.where(any_gt, labels, jnp.where(labels == -1, -1, 0))
-    return {"labels": labels, "boxes": matched_boxes, "confid": confid}
+        confid = jnp.ones(idx.shape, jnp.float32)
+    return {
+        "idx": idx, "labels": sel_labels, "ok": ok,
+        "boxes": boxes, "confid": confid,
+    }
 
 
 def rpn_losses(
     anchors: jnp.ndarray,              # (A, 4)
     pred_logits: jnp.ndarray,          # (B, A)
     pred_deltas: jnp.ndarray,          # (B, A, 4)
-    gt_labels: jnp.ndarray,            # (B, A)
-    gt_boxes: jnp.ndarray,             # (B, A, 4)
-    gt_confids: jnp.ndarray | None,
+    sampled: Dict[str, jnp.ndarray],   # batched label_anchors output (B, K, ...)
     box2box: Box2BoxTransform,
     batch_size_per_image: int,
     smooth_l1_beta: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Reference: rpn.py:153-225 (sum BCE + smooth-l1 over sampled anchors,
-    normalized by batch_size_per_image * num_images)."""
+    normalized by batch_size_per_image * num_images). Predictions are
+    gathered at the K sampled anchors; nothing full-(A,)-width is formed."""
     num_images = pred_logits.shape[0]
-    pos = gt_labels == 1
-    valid = gt_labels >= 0
+    idx = sampled["idx"]                                       # (B, K)
+    pos = (sampled["labels"] == 1) & sampled["ok"]
+    valid = sampled["ok"]
 
-    target_deltas = box2box.get_deltas(anchors[None], gt_boxes)  # (B, A, 4)
-    loc = L.smooth_l1(pred_deltas, target_deltas, smooth_l1_beta).sum(-1)
+    logits_s = jnp.take_along_axis(pred_logits, idx, axis=1)   # (B, K)
+    deltas_s = jnp.take_along_axis(pred_deltas, idx[..., None], axis=1)
+    anchors_s = anchors[idx]                                   # (B, K, 4)
+
+    target_deltas = box2box.get_deltas(anchors_s, sampled["boxes"])
+    loc = L.smooth_l1(deltas_s, target_deltas, smooth_l1_beta).sum(-1)
     localization_loss = (loc * pos).sum()
 
-    obj = L.bce_with_logits(pred_logits, (gt_labels == 1).astype(jnp.float32))
-    if gt_confids is not None:
-        obj = obj * gt_confids
+    obj = L.bce_with_logits(logits_s, pos.astype(jnp.float32))
+    obj = obj * sampled["confid"]
     objectness_loss = (obj * valid).sum()
 
     normalizer = batch_size_per_image * num_images

@@ -158,19 +158,34 @@ def _pad_levels(feats: Sequence[jnp.ndarray], window):
     return tuple(out)
 
 
-def _w2(wy: jnp.ndarray, wx: jnp.ndarray, dtype) -> jnp.ndarray:
-    """(N, P, Wh), (N, P, Ww) -> combined (N, P*P, Wh*Ww) kron weights.
+def _kron_in_kernel(wy2: jnp.ndarray, wx2: jnp.ndarray) -> jnp.ndarray:
+    """(P, Wh), (P, Ww) -> TRANSPOSED kron weights (Wh*Ww, P*P) in VMEM.
 
-    Cast BEFORE the outer product so XLA writes the (large) kron directly
-    in the compute dtype — a separate f32 materialization + convert pass
-    measured ~11 ms/step at RCNN shapes. The backward reuses this same
-    array (contracting its P*P dim), so no transposed copy exists."""
-    n, p, wh = wy.shape
-    ww = wx.shape[2]
-    wy = wy.astype(dtype)
-    wx = wx.astype(dtype)
-    w2 = wy[:, :, None, :, None] * wx[:, None, :, None, :]
-    return w2.reshape(n, p * p, wh * ww)
+    The kron is ~260 KB per roi; building it in-kernel from the separable
+    factors (a few KB each) replaces the former HBM-materialized
+    (N, P*P, Wh*Ww) tensor — >1 GB at RCNN shapes, plus an XLA layout
+    copy of the same size (profiled ~9 ms/step of copies alone).
+
+    Transposed layout because Mosaic rejects merging minor dims in a
+    shape cast ((P,P,Wh,Ww)->(PP,WhWw) needs lanes Ww->WhWw): with PP as
+    the lane dim, expanding wy/wx to (Wh, PP)/(Ww, PP) via tiny one-hot
+    selector matmuls and collapsing (Wh,Ww) — a supported major-dim
+    merge — builds w2t [yx, pq] = wy[pq//P, y] * wx[pq%P, x] directly."""
+    p, wh = wy2.shape
+    ww = wx2.shape[1]
+    pp = p * p
+    pq = jax.lax.broadcasted_iota(jnp.int32, (p, pp), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, pp), 0)
+    sel_p = (row == pq // p).astype(wy2.dtype)   # one-hot of pq // P
+    sel_q = (row == pq % p).astype(wx2.dtype)    # one-hot of pq % P
+    wy_e = jax.lax.dot_general(                  # (Wh, PP)
+        wy2, sel_p, (((0,), (0,)), ((), ())), preferred_element_type=wy2.dtype
+    )
+    wx_e = jax.lax.dot_general(                  # (Ww, PP)
+        wx2, sel_q, (((0,), (0,)), ((), ())), preferred_element_type=wx2.dtype
+    )
+    w2t = wy_e[:, None, :] * wx_e[None, :, :]    # (Wh, Ww, PP)
+    return w2t.reshape(wh * ww, pp)
 
 
 # ------------------------------------------------------------- fwd kernel
@@ -183,10 +198,11 @@ def _fwd_kernel(
     window,
 ):
     frefs = rest[:nlev]
-    w2_ref = rest[nlev]
-    out_ref = rest[nlev + 1]
-    crop = rest[nlev + 2]
-    sem = rest[nlev + 3]
+    wy_ref = rest[nlev]
+    wx_ref = rest[nlev + 1]
+    out_ref = rest[nlev + 2]
+    crop = rest[nlev + 3]
+    sem = rest[nlev + 4]
 
     win_h, win_w = _win_wh(window)
     i = pl.program_id(0)
@@ -223,31 +239,37 @@ def _fwd_kernel(
 
     cr = crop[slot]                                   # (win_h, win_w, C)
     crf = cr.reshape(win_h * win_w, cr.shape[-1])     # collapse major dims
+    w2t = _kron_in_kernel(wy_ref[0], wx_ref[0]).astype(crf.dtype)
+    # out[pq, c] = sum_yx w2t[yx, pq] crf[yx, c] — A^T B form
     out = jax.lax.dot_general(
-        w2_ref[0],
+        w2t,
         crf,
-        (((1,), (0,)), ((), ())),
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                 # (P*P, C)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _fwd_call(feats, w2, bidx, lvl, y0, x0, *, window, interpret: bool):
+def _fwd_call(feats, wy, wx, bidx, lvl, y0, x0, *, window, interpret: bool):
     nlev = len(feats)
-    n, pp, _ = w2.shape
+    n, p, win_h = wy.shape
+    win_w = wx.shape[2]
+    pp = p * p
     c = feats[0].shape[-1]
     dtype = feats[0].dtype
-    win_h, win_w = _win_wh(window)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlev
         + [
             pl.BlockSpec(
-                (1, pp, w2.shape[2]),
-                lambda i, *_: (i, 0, 0),
+                (1, p, win_h), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
-            )
+            ),
+            pl.BlockSpec(
+                (1, p, win_w), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, pp, c), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -262,7 +284,7 @@ def _fwd_call(feats, w2, bidx, lvl, y0, x0, *, window, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((n, pp, c), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bidx, lvl, y0, x0, *feats, w2)
+    )(bidx, lvl, y0, x0, *feats, wy, wx)
 
 
 # ------------------------------------------------------------- bwd kernel
@@ -275,13 +297,14 @@ def _bwd_kernel(
     window,
 ):
     # inputs: nlev zero-initialized grad buffers (aliased to outputs),
-    # w2 block, g block; outputs: nlev grad buffers; scratch: window + sem
+    # wy/wx blocks, g block; outputs: nlev grad buffers; scratch: window+sem
     zrefs = rest[:nlev]          # aliased: same buffers as outputs
-    w2_ref = rest[nlev]
-    g_ref = rest[nlev + 1]
-    outs = rest[nlev + 2 : nlev + 2 + nlev]
-    acc = rest[2 * nlev + 2]
-    sem = rest[2 * nlev + 3]
+    wy_ref = rest[nlev]
+    wx_ref = rest[nlev + 1]
+    g_ref = rest[nlev + 2]
+    outs = rest[nlev + 3 : nlev + 3 + nlev]
+    acc = rest[2 * nlev + 3]
+    sem = rest[2 * nlev + 4]
     del zrefs
 
     win_h, win_w = _win_wh(window)
@@ -301,12 +324,13 @@ def _bwd_kernel(
         def _(k=k):
             window_dma(k, to_vmem=True).start()
 
-    # dcrop[(hw), c] = sum_pq W2[(pq), (hw)] * g[(pq), c] — the fwd W2
-    # contracted on its FIRST dim, so no transposed weight copy is needed
+    # dcrop[(hw), c] = sum_pq W2t[(hw), (pq)] * g[(pq), c] — the fwd W2t
+    # contracted on its SECOND dim: a plain matmul, no transposed copy
+    w2t = _kron_in_kernel(wy_ref[0], wx_ref[0]).astype(g_ref.dtype)
     dcrop = jax.lax.dot_general(
-        w2_ref[0],
+        w2t,
         g_ref[0],
-        (((0,), (0,)), ((), ())),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                  # (W*W, C)
     c = dcrop.shape[-1]
@@ -332,20 +356,26 @@ def _bwd_kernel(
 
 
 def _bwd_call(
-    zero_feats, w2, g, bidx, lvl, y0, x0, *, window, interpret: bool
+    zero_feats, wy, wx, g, bidx, lvl, y0, x0, *, window, interpret: bool
 ):
     nlev = len(zero_feats)
-    n, pp, ww = w2.shape
+    n, p, win_h = wy.shape
+    win_w = wx.shape[2]
+    pp = p * p
     c = zero_feats[0].shape[-1]
     dtype = zero_feats[0].dtype
-    win_h, win_w = _win_wh(window)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlev
         + [
             pl.BlockSpec(
-                (1, pp, ww), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, p, win_h), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, p, win_w), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, pp, c), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -366,7 +396,7 @@ def _bwd_call(
         # operand index space includes the 4 scalar-prefetch args
         input_output_aliases={4 + k: k for k in range(nlev)},
         interpret=interpret,
-    )(bidx, lvl, y0, x0, *zero_feats, w2, g)
+    )(bidx, lvl, y0, x0, *zero_feats, wy, wx, g)
 
 
 # ----------------------------------------------------------------- wrapper
@@ -421,9 +451,8 @@ def _fwd(feats, boxes, levels, output_size, sampling_ratio, window, interpret):
         boxes, level_hw, levels, output_size, sampling_ratio, window
     )
     padded = _pad_levels(feats, window)
-    w2 = _w2(wy, wx, padded[0].dtype)
     pooled = _fwd_call(
-        padded, w2, bidx, lvl, y0, x0, window=window, interpret=interpret
+        padded, wy, wx, bidx, lvl, y0, x0, window=window, interpret=interpret
     )                                                   # (N, P*P, C)
     c = feats[0].shape[-1]
     out = pooled.reshape(b, r, output_size, output_size, c)
@@ -439,7 +468,6 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
         boxes, level_hw, levels, output_size, sampling_ratio, window
     )
     dtype = feats[0].dtype
-    w2 = _w2(wy, wx, dtype)
     gf = g.reshape(b * r, output_size * output_size, c).astype(dtype)
     zero_padded = tuple(
         jnp.zeros(
@@ -449,7 +477,7 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
         for f in feats
     )
     dpadded = _bwd_call(
-        zero_padded, w2, gf, bidx, lvl, y0, x0,
+        zero_padded, wy, wx, gf, bidx, lvl, y0, x0,
         window=window, interpret=interpret,
     )
     dfeats = tuple(

@@ -20,7 +20,9 @@ logger = logging.getLogger("ubteacher_tpu")
 
 
 class EventStorage:
-    def __init__(self, output_dir: str, log_period: int = 20):
+    def __init__(
+        self, output_dir: str, log_period: int = 20, tensorboard: bool = True
+    ):
         self.output_dir = output_dir
         self.log_period = log_period
         self._buffer: Dict[str, list] = defaultdict(list)
@@ -28,6 +30,18 @@ class EventStorage:
         self._json_path = os.path.join(output_dir, "metrics.json")
         os.makedirs(output_dir, exist_ok=True)
         self._t_last = time.perf_counter()
+        # TensorBoard writer, like D2's default_writers TensorboardXWriter
+        # (reference: trainer.py:551 -> PeriodicWriter); optional dep.
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    log_dir=os.path.join(output_dir, "tensorboard")
+                )
+            except Exception:
+                self._tb = None
 
     @property
     def iter(self) -> int:
@@ -53,6 +67,9 @@ class EventStorage:
         means["sec_per_iter"] = sec_per_iter
         with open(self._json_path, "a") as f:
             f.write(json.dumps(means) + "\n")
+        if self._tb is not None:
+            for k, v in means.items():
+                self._tb.add_scalar(k, v, self._iter)
         loss_str = "  ".join(
             f"{k}: {v:.4g}" for k, v in sorted(means.items())
             if k.startswith(("loss", "total"))
