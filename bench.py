@@ -157,10 +157,91 @@ def bench_inference() -> None:
     )
 
 
+def bench_rcnn() -> None:
+    """Faster R-CNN mutual step at the recipe's per-chip load: 32+32 over
+    8 GPUs (README.md:76-110) = 4+4 per chip."""
+    import jax
+
+    from ubteacher_tpu.config import add_ubteacher_config, get_cfg
+    from ubteacher_tpu.engine.rcnn_trainer import (
+        RCNNTrainState, make_rcnn_train_steps,
+    )
+    from ubteacher_tpu.modeling.rcnn import build_two_stage_rcnn
+    from ubteacher_tpu.solver import build_optimizer
+    from ubteacher_tpu.structures import PaddedInstances
+
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.merge_from_file(
+        "configs/Faster-RCNN/coco-standard/faster_rcnn_R_50_FPN_ut2_sup1_run0.yaml"
+    )
+    cfg.SEMISUPNET.BURN_UP_STEP = 0
+    cfg.freeze()
+
+    b = 4
+    model = build_two_stage_rcnn(cfg)
+    h, w = CANVAS
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3)))["params"]
+    tx = build_optimizer(cfg, params)
+    state = RCNNTrainState.create(params, tx)
+    _, mutual_step = make_rcnn_train_steps(cfg, model, tx)
+
+    m = cfg.TPU.MAX_GT
+    boxes = np.zeros((b, m, 4), np.float32)
+    mask = np.zeros((b, m), bool)
+    nb = 12
+    boxes[:, :nb, 0] = rng.uniform(0, w - 200, (b, nb))
+    boxes[:, :nb, 1] = rng.uniform(0, h - 200, (b, nb))
+    boxes[:, :nb, 2] = boxes[:, :nb, 0] + rng.uniform(20, 200, (b, nb))
+    boxes[:, :nb, 3] = boxes[:, :nb, 1] + rng.uniform(20, 200, (b, nb))
+    mask[:, :nb] = True
+    gt = PaddedInstances(
+        jnp.asarray(boxes),
+        jnp.asarray(rng.integers(0, 80, (b, m)).astype(np.int32)),
+        jnp.ones((b, m), jnp.float32),
+        jnp.zeros((b, m, 4), jnp.float32),
+        jnp.asarray(mask),
+    )
+    imgs = jnp.asarray(
+        rng.normal(110, 45, (b, h, w, 3)).clip(0, 255).astype(np.float32)
+    )
+
+    def batch_for(i):
+        return {
+            "images_label_k": imgs,
+            "gt_label": gt,
+            "images_unlabel_k": imgs,
+            "rng": jax.random.PRNGKey(i),
+        }
+
+    for i in range(WARMUP):
+        state, metrics = mutual_step(state, batch_for(i))
+    float(jax.device_get(metrics["total_loss"]))
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = mutual_step(state, batch_for(WARMUP + i))
+    float(jax.device_get(metrics["total_loss"]))
+    dt = time.perf_counter() - t0
+    value = 2 * b * STEPS / dt / jax.device_count()
+    print(
+        json.dumps(
+            {
+                "metric": "rcnn_ssod_images_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(value / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
     if "--inference" in sys.argv:
         bench_inference()
+    elif "--rcnn" in sys.argv:
+        bench_rcnn()
     else:
         main()

@@ -275,3 +275,34 @@ def test_label_anchors_sample_first():
     assert int(((s0["labels"] == 1) & s0["ok"]).sum()) == 0
     assert int(s0["ok"].sum()) == 8
     np.testing.assert_allclose(np.asarray(s0["confid"]), 1.0)
+
+
+def test_focal_ce_extreme_logits_finite_grads():
+    """Confidently-correct rows (ce ~ 0) must give finite loss AND grads:
+    log_softmax rounding can make ce slightly negative under fused XLA,
+    and (1 - exp(-ce))**1.5 NaNs on a negative base without the clamp
+    (modeling/fast_rcnn.py:focal_ce_loss)."""
+    import jax
+    import jax.numpy as jnp
+    from ubteacher_tpu.modeling.fast_rcnn import focal_ce_loss
+
+    scores = jnp.asarray(
+        [[1000.0, 0.0, 0.0, 0.0],   # ce == 0 exactly after log_softmax
+         [30.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 0.0, 30.0],
+         [-5.0, 10.0, 3.0, 0.0]]
+    )
+    cls = jnp.asarray([0, 0, 0, 2])
+    valid = jnp.ones((4,), bool)
+
+    val, grad = jax.value_and_grad(
+        lambda s: focal_ce_loss(s, cls, valid)
+    )(scores)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+
+    # the clamp path itself: ce forced negative via a monkeypatched logp is
+    # impossible from outside; instead check loss == 0 for the exact-zero-ce
+    # row contribution (p == 1 -> focal weight 0)
+    one = focal_ce_loss(scores[:1], cls[:1], valid[:1])
+    np.testing.assert_allclose(float(one), 0.0, atol=1e-12)

@@ -1,0 +1,178 @@
+"""End-to-end learning sanity on the real device: synthetic data -> AP.
+
+Drives the FULL host trainer (two-stream loader, in-graph strong aug, EMA
+teacher, dual-NMS pseudo-labels, eval) on a synthetic colored-rectangle
+COCO dataset and reports student/teacher AP after N steps. A from-scratch
+detector must reach high AP on this task; AP ~ 0 after training indicates
+a wiring/semantics regression. This reproduces the learning-sanity results
+recorded in ROUND1_NOTES.md.
+
+The reference has no equivalent (it has no tests at all, SURVEY.md §4);
+this is the closest thing to its "in-training evaluation as integration
+test" practice, shrunk to minutes.
+
+Usage:
+    python tools/learning_sanity.py [--rcnn] [--steps 500] [--burnin 300]
+                                    [--size 128] [--images 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+
+def synthetic_coco(root: Path, n_images: int, size: int):
+    """COCO-format dataset of colored rectangles on noise (3 classes)."""
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    ann_id = 1
+    img_dir = root / "images"
+    img_dir.mkdir(exist_ok=True, parents=True)
+    arrays = {}
+    for i in range(n_images):
+        fname = f"img{i}.png"
+        img = rng.integers(0, 80, size=(size, size, 3), dtype=np.uint8)
+        for _ in range(int(rng.integers(1, 4))):
+            w, h = int(rng.integers(20, 48)), int(rng.integers(20, 48))
+            x = int(rng.integers(0, size - w))
+            y = int(rng.integers(0, size - h))
+            cat = int(rng.integers(1, 4))
+            color = np.array(
+                [60 + 60 * cat, 40 * cat, 255 - 50 * cat], np.uint8
+            )
+            img[y: y + h, x: x + w] = color
+            annotations.append({
+                "id": ann_id, "image_id": i, "category_id": cat,
+                "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
+            })
+            ann_id += 1
+        arrays[str(img_dir / fname)] = img
+        images.append(
+            {"id": i, "file_name": fname, "height": size, "width": size}
+        )
+    coco = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": c, "name": f"cat{c}"} for c in (1, 2, 3)],
+    }
+    json_path = root / "instances.json"
+    json_path.write_text(json.dumps(coco))
+    return str(json_path), str(img_dir), arrays
+
+
+def build_cfg(args, outdir: str):
+    from ubteacher_tpu.config import add_ubteacher_config, get_cfg
+
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    base = (
+        "configs/Faster-RCNN/coco-standard/"
+        "faster_rcnn_R_50_FPN_ut2_sup1_run0.yaml"
+        if args.rcnn
+        else "configs/FCOS/coco-standard/fcos_R_50_ut2_sup1_run0.yaml"
+    )
+    cfg.merge_from_file(base)
+    if args.rcnn:
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    else:
+        cfg.MODEL.FCOS.NUM_CLASSES = 3
+    cfg.TPU.CANVAS_LANDSCAPE = (args.size, args.size)
+    cfg.TPU.CANVAS_PORTRAIT = (args.size, args.size)
+    cfg.TPU.TEST_CANVAS = (args.size, args.size)
+    cfg.TPU.MAX_GT = 8
+    cfg.TPU.MAX_PSEUDO = 50
+    cfg.TPU.NMS_CANDIDATES = 200
+    cfg.TPU.DATA_THREADS = 2
+    cfg.INPUT.MIN_SIZE_TRAIN = (args.size - 32,)
+    cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING = "choice"
+    cfg.INPUT.MAX_SIZE_TRAIN = args.size
+    cfg.INPUT.MIN_SIZE_TEST = args.size - 32
+    cfg.INPUT.MAX_SIZE_TEST = args.size
+    cfg.SOLVER.IMG_PER_BATCH_LABEL = 8
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = 8
+    cfg.SOLVER.MAX_ITER = args.steps
+    # from-scratch backbone: gentler LR + clipping (ROUND1_NOTES.md)
+    cfg.SOLVER.BASE_LR = 0.002 if args.rcnn else 0.01
+    if args.rcnn:
+        cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+        cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "norm"
+        cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 10.0
+    cfg.SOLVER.WARMUP_ITERS = 100
+    cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
+    cfg.SEMISUPNET.BURN_UP_STEP = args.burnin
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.MODEL.WEIGHTS = ""
+    cfg.OUTPUT_DIR = outdir
+    cfg.freeze()
+    return cfg
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--rcnn", action="store_true")
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--burnin", type=int, default=300)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--images", type=int, default=64)
+    args = ap.parse_args()
+
+    from ubteacher_tpu.data.coco import load_coco_json
+    from ubteacher_tpu.engine.trainer import (
+        UBRCNNTeacherTrainer, UBTeacherTrainer,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="ubt_sanity_"))
+    json_path, img_dir, arrays = synthetic_coco(tmp, args.images, args.size)
+    dicts, meta = load_coco_json(json_path, img_dir)
+    n_label = max(args.images // 2, 8)
+    datasets = {
+        "train": dicts[:n_label],
+        "train_unlabel": dicts[n_label:],
+        "test": dicts[:16],
+        "meta": meta,
+    }
+    cfg = build_cfg(args, str(tmp / "output"))
+    cls = UBRCNNTeacherTrainer if args.rcnn else UBTeacherTrainer
+    trainer = cls(cfg, datasets=datasets, image_loader=lambda f: arrays[f])
+
+    pre = trainer.test(model="student")
+    trainer.train()
+    post_student = trainer.test(model="student")
+    post_teacher = trainer.test(model="teacher")
+
+    # mean pseudo-box count over the mutual phase, from metrics.json: a
+    # weak burn-in teacher yields ~0 pseudo boxes at BBOX_THRESHOLD, and
+    # then the unlabeled branch trains "everything is background" and
+    # degrades the student (faithful to the reference, which has no guard
+    # either — its non-empty assert at trainer.py:326-329 checks dict
+    # keys, not instances). If pseudo counts are ~0, raise --burnin.
+    n_pseudo = None
+    metrics_path = Path(cfg.OUTPUT_DIR) / "metrics.json"
+    if metrics_path.exists():
+        key = "num_pseudo" if args.rcnn else "num_pseudo_cls"
+        vals = [
+            json.loads(line).get(key)
+            for line in metrics_path.read_text().splitlines()
+        ]
+        vals = [v for v in vals if v is not None]
+        n_pseudo = round(float(np.mean(vals)), 1) if vals else None
+
+    print(json.dumps({
+        "detector": "rcnn" if args.rcnn else "fcos",
+        "steps": args.steps,
+        "ap_before": round(float(pre["AP"]), 2),
+        "ap_student": round(float(post_student["AP"]), 2),
+        "ap_teacher": round(float(post_teacher["AP"]), 2),
+        "mean_pseudo_boxes": n_pseudo,
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

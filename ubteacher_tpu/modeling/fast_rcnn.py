@@ -178,6 +178,11 @@ def focal_ce_loss(
     comput_focal_loss normalizes by total sample count 925-936)."""
     logp = jax.nn.log_softmax(scores, axis=-1)
     ce = -jnp.take_along_axis(logp, gt_classes[:, None], axis=-1)[:, 0]
+    # XLA's fused log_softmax can round logp a few ulp POSITIVE for a
+    # confidently-correct row; ce < 0 makes p > 1 and the fractional
+    # power below sees a negative base -> NaN (observed on v5e at bf16
+    # model dtype: ce = -3e-6 at step 0 poisoned the whole run). Clamp.
+    ce = jnp.maximum(ce, 0.0)
     p = jnp.exp(-ce)
     loss = (1.0 - p) ** gamma * ce
     if confid is not None:
