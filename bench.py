@@ -138,12 +138,16 @@ def bench_inference() -> None:
     infer = make_fcos_inference_fn(cfg, model)
     hw = jnp.asarray([[h, w]], jnp.float32)
     dets = infer(params, images, hw)
-    jax.block_until_ready(dets.boxes)
+    # device_get, not block_until_ready: the axon remote runtime returns
+    # early from block_until_ready (see module docstring) — only a value
+    # fetch is an honest sync. The device executes queued calls in order,
+    # so fetching the last result times all n.
+    jax.device_get(dets.boxes)
     t0 = time.perf_counter()
     n = 20
     for _ in range(n):
         dets = infer(params, images, hw)
-    jax.block_until_ready(dets.boxes)
+    jax.device_get(dets.boxes)
     dt = (time.perf_counter() - t0) / n
     print(
         json.dumps(

@@ -82,3 +82,75 @@ def test_sharded_step_matches_unsharded():
     for k in m1:
         np.testing.assert_allclose(m1[k], m2[k], rtol=1e-4, atol=1e-5,
                                    err_msg=k)
+
+
+def test_rcnn_mutual_sharded_matches_unsharded():
+    """RCNN mutual step (incl. the shard_mapped Pallas ROIAlign and NMS)
+    gives identical metrics on an 8-device mesh vs a single device."""
+    from ubteacher_tpu.engine.rcnn_trainer import make_rcnn_train_steps
+    from ubteacher_tpu.modeling.rcnn import build_two_stage_rcnn
+    from ubteacher_tpu.solver import build_optimizer
+    from ubteacher_tpu.structures import PaddedInstances
+    from tests.test_rcnn import _rcnn_tiny_cfg
+
+    assert jax.device_count() >= 8
+    cfg = _rcnn_tiny_cfg()
+    cfg.defrost()
+    cfg.SEMISUPNET.BURN_UP_STEP = 0
+    cfg.freeze()
+    model = build_two_stage_rcnn(cfg)
+    b, h, w = 8, 64, 64
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3)))[
+        "params"
+    ]
+    tx = build_optimizer(cfg, params)
+    _, mutual = make_rcnn_train_steps(cfg, model, tx)
+
+    m = cfg.TPU.MAX_GT
+    boxes = np.zeros((b, m, 4), np.float32)
+    classes = np.zeros((b, m), np.int32)
+    mask = np.zeros((b, m), bool)
+    boxes[:, 0] = [8, 8, 40, 40]
+    classes[:, 0] = 1
+    mask[:, 0] = True
+    gt = PaddedInstances(
+        jnp.asarray(boxes), jnp.asarray(classes), jnp.ones((b, m)),
+        jnp.zeros((b, m, 4)), jnp.asarray(mask),
+    )
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(
+        rng.normal(100, 40, (b, h, w, 3)).clip(0, 255).astype(np.float32)
+    )
+    batch = {
+        "images_label_k": imgs,
+        "gt_label": gt,
+        "images_unlabel_k": imgs,
+        "rng": jax.random.PRNGKey(5),
+    }
+
+    state1 = FCOSTrainState.create(jax.tree.map(jnp.array, params), tx)
+    _, m_un = mutual(state1, batch)
+    m1 = {k: float(v) for k, v in jax.device_get(m_un).items()}
+
+    mesh = get_mesh(8)
+    state2 = FCOSTrainState.create(jax.tree.map(jnp.array, params), tx)
+    state2 = jax.device_put(state2, replicate(mesh))
+    _, m_sh = mutual(state2, shard_batch(batch, mesh))
+    m2 = {k: float(v) for k, v in jax.device_get(m_sh).items()}
+
+    # supervised losses must match tightly. The pseudo losses sit behind a
+    # hard score threshold on a random-init teacher: batch-8 vs per-device
+    # batch-1 convs differ at f32-rounding level, which can flip a
+    # borderline detection in/out of the pseudo set — compare those
+    # loosely (they catch gross sharding breakage, e.g. wrong normalizers
+    # or a broken shard_mapped kernel, not ulp flips).
+    for k in m1:
+        # total_loss inherits the pseudo variance (it's the weighted sum;
+        # the supervised components are asserted tightly on their own)
+        loose = "pseudo" in k or k == "total_loss"
+        np.testing.assert_allclose(
+            m1[k], m2[k],
+            rtol=0.2 if loose else 1e-4,
+            atol=0.05 if loose else 1e-5,
+            err_msg=k,
+        )

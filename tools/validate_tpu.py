@@ -1,0 +1,184 @@
+"""On-device Pallas kernel validation: compiled kernels vs XLA references.
+
+The unit tests run the Pallas kernels in INTERPRET mode on a CPU mesh
+(tests/conftest.py); Mosaic compilation itself is only exercised on real
+hardware. This script runs each kernel compiled on the attached backend
+and checks it against the jnp/XLA reference implementation — run it after
+touching any kernel, before trusting a training run.
+
+Usage:  python tools/validate_tpu.py        # prints PASS/FAIL per kernel
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def _report(name: str, diff: float, tol: float) -> bool:
+    ok = diff <= tol
+    print(f"{'PASS' if ok else 'FAIL'}  {name:34s} max|diff|={diff:.3e} "
+          f"(tol {tol:.0e})")
+    return ok
+
+
+def check_nms() -> bool:
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.ops.nms import nms_keep
+    from ubteacher_tpu.ops.pallas.nms_pallas import nms_keep_pallas
+
+    rng = np.random.default_rng(0)
+    n = 1000
+    b1 = rng.uniform(0, 500, (n, 2)).astype(np.float32)
+    boxes = np.concatenate(
+        [b1, b1 + rng.uniform(5, 120, (n, 2)).astype(np.float32)], axis=1
+    )
+    scores = rng.uniform(0, 1, (n,)).astype(np.float32)
+    order = np.argsort(-scores)
+    boxes, scores = boxes[order], scores[order]
+    valid = np.ones((n,), bool)
+    valid[-50:] = False
+    ref = np.asarray(
+        nms_keep(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.6)
+    )
+    got = np.asarray(
+        nms_keep_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.6
+        )
+    )
+    return _report("nms_keep_pallas (compiled)",
+                   float(np.abs(ref.astype(np.int32)
+                                - got.astype(np.int32)).max()), 0)
+
+
+def check_roi_align() -> bool:
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.ops.pallas.roi_align_pallas import (
+        multilevel_roi_align_pallas,
+    )
+    from ubteacher_tpu.ops.roi_align import multilevel_roi_align
+
+    rng = np.random.default_rng(1)
+    sizes = {"p2": 96, "p3": 48, "p4": 24, "p5": 12}
+    pyramid = {
+        k: jnp.asarray(
+            rng.normal(size=(2, v, v * 2, 256)).astype(np.float32)
+        )
+        for k, v in sizes.items()
+    }
+    b1 = rng.uniform(0, 300, (2, 64, 2)).astype(np.float32)
+    boxes = jnp.asarray(
+        np.concatenate(
+            [b1, b1 + rng.uniform(8, 150, (2, 64, 2)).astype(np.float32)],
+            axis=-1,
+        )
+    )
+    feats = tuple(pyramid[k] for k in ("p2", "p3", "p4", "p5"))
+    got = np.asarray(
+        multilevel_roi_align_pallas(feats, boxes).astype(jnp.float32)
+    )
+    ref = np.asarray(
+        multilevel_roi_align(
+            pyramid, boxes, ("p2", "p3", "p4", "p5"), method="matmul"
+        )
+    )
+    # the compiled MXU dot runs bf16 passes on f32 inputs (DEFAULT
+    # precision) — ~1e-2 relative is the expected agreement
+    scale = np.abs(ref).max()
+    return _report("roi_align_pallas fwd (compiled)",
+                   float(np.abs(got - ref).max() / scale), 2e-2)
+
+
+def check_roi_align_grad() -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.ops.pallas.roi_align_pallas import (
+        multilevel_roi_align_pallas,
+    )
+    from ubteacher_tpu.ops.roi_align import multilevel_roi_align
+
+    rng = np.random.default_rng(2)
+    sizes = {"p2": 48, "p3": 24, "p4": 12, "p5": 8}
+    pyramid = {
+        k: jnp.asarray(rng.normal(size=(1, v, v, 256)).astype(np.float32))
+        for k, v in sizes.items()
+    }
+    b1 = rng.uniform(0, 100, (1, 16, 2)).astype(np.float32)
+    boxes = jnp.asarray(
+        np.concatenate(
+            [b1, b1 + rng.uniform(8, 60, (1, 16, 2)).astype(np.float32)],
+            axis=-1,
+        )
+    )
+    feats = tuple(pyramid[k] for k in ("p2", "p3", "p4", "p5"))
+
+    def f_pallas(fs):
+        return (
+            multilevel_roi_align_pallas(fs, boxes).astype(jnp.float32) ** 2
+        ).sum()
+
+    def f_ref(pyr):
+        return (
+            multilevel_roi_align(
+                pyr, boxes, ("p2", "p3", "p4", "p5"), method="matmul"
+            ) ** 2
+        ).sum()
+
+    g1 = jax.grad(f_pallas)(feats)
+    g2 = jax.grad(f_ref)(pyramid)
+    diffs = []
+    for k, g in zip(("p2", "p3", "p4", "p5"), g1):
+        ref = np.asarray(g2[k])
+        scale = max(np.abs(ref).max(), 1e-6)
+        diffs.append(np.abs(np.asarray(g) - ref).max() / scale)
+    return _report("roi_align_pallas bwd (compiled)",
+                   float(max(diffs)), 4e-2)
+
+
+def check_focal() -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.ops.losses import sigmoid_focal_loss
+    from ubteacher_tpu.ops.pallas.focal_pallas import (
+        sigmoid_focal_loss_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 4, (2048, 80)).astype(np.float32))
+    t = jnp.asarray(
+        (rng.uniform(size=(2048, 80)) < 0.01).astype(np.float32)
+    )
+    ref = np.asarray(sigmoid_focal_loss(x, t))
+    got = np.asarray(sigmoid_focal_loss_pallas(x, t))
+    ok1 = _report("focal_pallas fwd (compiled)",
+                  float(np.abs(got - ref).max()), 1e-4)
+    g1 = np.asarray(
+        jax.grad(lambda z: sigmoid_focal_loss_pallas(z, t).sum())(x)
+    )
+    g2 = np.asarray(
+        jax.grad(lambda z: sigmoid_focal_loss(z, t).sum())(x)
+    )
+    ok2 = _report("focal_pallas bwd (compiled)",
+                  float(np.abs(g1 - g2).max()), 1e-4)
+    return ok1 and ok2
+
+
+def main() -> None:
+    import jax
+
+    print("backend:", jax.devices()[0])
+    results = [check_nms(), check_focal(), check_roi_align(),
+               check_roi_align_grad()]
+    if not all(results):
+        sys.exit(1)
+    print("all kernels validated on this backend")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()
