@@ -324,6 +324,10 @@ def add_tpu_config(cfg: CN) -> None:
     _C.TPU.MESH_DATA = -1
     # Host data pipeline workers.
     _C.TPU.DATA_THREADS = 8
+    # Eval batch size. The reference evaluates per-image (batch 1,
+    # build.py:114); with a fixed TEST_CANVAS the results are identical at
+    # any batch, and batching amortizes the per-dispatch overheads.
+    _C.TPU.EVAL_BATCH = 8
 
 
 def get_cfg() -> CN:

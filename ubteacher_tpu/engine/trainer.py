@@ -267,7 +267,8 @@ class UBTeacherTrainer:
         params = self.state.teacher if model == "teacher" else self.state.student
         test_dicts = self.datasets["test"]
         loader = TestDataLoader(
-            self.cfg, test_dicts, batch_size=1, image_loader=self._image_loader
+            self.cfg, test_dicts, batch_size=self.cfg.TPU.EVAL_BATCH,
+            image_loader=self._image_loader,
         )
         return inference_on_dataset(
             self.cfg, params, self.model, loader, test_dicts,
