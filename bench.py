@@ -51,45 +51,57 @@ def main() -> None:
     cfg.SEMISUPNET.BURN_UP_STEP = 0
     cfg.freeze()
 
+    from ubteacher_tpu.parallel import get_mesh, replicate, shard_batch
+
+    # keep the PER-CHIP load at BATCH_LABEL+BATCH_UNLABEL: scale the global
+    # batch by the number of chips and shard it over the data mesh, so
+    # img/s/chip is honest on any host (an unsharded batch would run on
+    # device 0 only while being divided by device_count)
+    n_chips = jax.device_count()
+    mesh = get_mesh()
+    batch_label = BATCH_LABEL * n_chips
+    batch_unlabel = BATCH_UNLABEL * n_chips
+
     model = build_one_stage_detector(cfg)
     h, w = CANVAS
-    images = jnp.zeros((BATCH_LABEL, h, w, 3), jnp.float32)
+    images = jnp.zeros((2, h, w, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), images)["params"]
     tx = build_optimizer(cfg, params)
-    state = FCOSTrainState.create(params, tx)
+    state = jax.device_put(FCOSTrainState.create(params, tx), replicate(mesh))
     _, mutual_step = make_fcos_train_steps(cfg, model, tx)
 
     m = cfg.TPU.MAX_GT
     rng = np.random.default_rng(0)
-    boxes = np.zeros((BATCH_LABEL, m, 4), np.float32)
-    classes = np.zeros((BATCH_LABEL, m), np.int32)
-    mask = np.zeros((BATCH_LABEL, m), bool)
+    boxes = np.zeros((batch_label, m, 4), np.float32)
+    classes = np.zeros((batch_label, m), np.int32)
+    mask = np.zeros((batch_label, m), bool)
     nb = 12
-    boxes[:, :nb, 0] = rng.uniform(0, w - 200, (BATCH_LABEL, nb))
-    boxes[:, :nb, 1] = rng.uniform(0, h - 200, (BATCH_LABEL, nb))
-    boxes[:, :nb, 2] = boxes[:, :nb, 0] + rng.uniform(20, 200, (BATCH_LABEL, nb))
-    boxes[:, :nb, 3] = boxes[:, :nb, 1] + rng.uniform(20, 200, (BATCH_LABEL, nb))
-    classes[:, :nb] = rng.integers(0, 80, (BATCH_LABEL, nb))
+    boxes[:, :nb, 0] = rng.uniform(0, w - 200, (batch_label, nb))
+    boxes[:, :nb, 1] = rng.uniform(0, h - 200, (batch_label, nb))
+    boxes[:, :nb, 2] = boxes[:, :nb, 0] + rng.uniform(20, 200, (batch_label, nb))
+    boxes[:, :nb, 3] = boxes[:, :nb, 1] + rng.uniform(20, 200, (batch_label, nb))
+    classes[:, :nb] = rng.integers(0, 80, (batch_label, nb))
     mask[:, :nb] = True
     gt = PaddedInstances(
         jnp.asarray(boxes), jnp.asarray(classes),
-        jnp.ones((BATCH_LABEL, m), jnp.float32),
-        jnp.zeros((BATCH_LABEL, m, 4), jnp.float32), jnp.asarray(mask),
+        jnp.ones((batch_label, m), jnp.float32),
+        jnp.zeros((batch_label, m, 4), jnp.float32), jnp.asarray(mask),
     )
-    imgs_l = jnp.asarray(
-        rng.normal(110, 45, size=(BATCH_LABEL, h, w, 3)).clip(0, 255).astype(np.float32)
-    )
-    imgs_u = jnp.asarray(
-        rng.normal(110, 45, size=(BATCH_UNLABEL, h, w, 3)).clip(0, 255).astype(np.float32)
+    imgs_l = rng.normal(110, 45, size=(batch_label, h, w, 3)).clip(0, 255).astype(np.float32)
+    imgs_u = rng.normal(110, 45, size=(batch_unlabel, h, w, 3)).clip(0, 255).astype(np.float32)
+
+    # shard the (large) arrays onto the mesh ONCE; only the tiny rng key
+    # changes per step (a per-step device_put of the images through the
+    # remote tunnel measured 16x slower end-to-end)
+    base = shard_batch(
+        {"images_label_k": imgs_l, "gt_label": gt, "images_unlabel_k": imgs_u},
+        mesh,
     )
 
     def batch_for(i):
-        return {
-            "images_label_k": imgs_l,
-            "gt_label": gt,
-            "images_unlabel_k": imgs_u,
-            "rng": jax.random.PRNGKey(i),
-        }
+        b = dict(base)
+        b["rng"] = jax.device_put(jax.random.PRNGKey(i), replicate(mesh))
+        return b
 
     for i in range(WARMUP):
         state, metrics = mutual_step(state, batch_for(i))
@@ -104,8 +116,7 @@ def main() -> None:
     float(jax.device_get(metrics["total_loss"]))
     dt = time.perf_counter() - t0
 
-    n_chips = jax.device_count()
-    imgs_per_step = BATCH_LABEL + BATCH_UNLABEL
+    imgs_per_step = batch_label + batch_unlabel
     value = imgs_per_step * STEPS / dt / n_chips
     print(
         json.dumps(
@@ -182,13 +193,17 @@ def bench_rcnn() -> None:
     cfg.SEMISUPNET.BURN_UP_STEP = 0
     cfg.freeze()
 
-    b = 4
+    from ubteacher_tpu.parallel import get_mesh, replicate, shard_batch
+
+    n_chips = jax.device_count()
+    mesh = get_mesh()
+    b = 4 * n_chips          # 4+4 per chip (the recipe's per-chip load)
     model = build_two_stage_rcnn(cfg)
     h, w = CANVAS
     rng = np.random.default_rng(0)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3)))["params"]
     tx = build_optimizer(cfg, params)
-    state = RCNNTrainState.create(params, tx)
+    state = jax.device_put(RCNNTrainState.create(params, tx), replicate(mesh))
     _, mutual_step = make_rcnn_train_steps(cfg, model, tx)
 
     m = cfg.TPU.MAX_GT
@@ -211,13 +226,15 @@ def bench_rcnn() -> None:
         rng.normal(110, 45, (b, h, w, 3)).clip(0, 255).astype(np.float32)
     )
 
+    base = shard_batch(
+        {"images_label_k": imgs, "gt_label": gt, "images_unlabel_k": imgs},
+        mesh,
+    )
+
     def batch_for(i):
-        return {
-            "images_label_k": imgs,
-            "gt_label": gt,
-            "images_unlabel_k": imgs,
-            "rng": jax.random.PRNGKey(i),
-        }
+        b = dict(base)
+        b["rng"] = jax.device_put(jax.random.PRNGKey(i), replicate(mesh))
+        return b
 
     for i in range(WARMUP):
         state, metrics = mutual_step(state, batch_for(i))
@@ -227,7 +244,7 @@ def bench_rcnn() -> None:
         state, metrics = mutual_step(state, batch_for(WARMUP + i))
     float(jax.device_get(metrics["total_loss"]))
     dt = time.perf_counter() - t0
-    value = 2 * b * STEPS / dt / jax.device_count()
+    value = 2 * b * STEPS / dt / n_chips
     print(
         json.dumps(
             {

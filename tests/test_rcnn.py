@@ -14,7 +14,11 @@ from ubteacher_tpu.modeling.box_regression import (
     Box2BoxTransform,
     Box2BoxXYXYTransform,
 )
-from ubteacher_tpu.modeling.matcher import match, match_quality, subsample_labels
+from ubteacher_tpu.modeling.matcher import (
+    match,
+    match_quality,
+    random_priority_topk,
+)
 from ubteacher_tpu.ops.roi_align import assign_levels, roi_align
 from ubteacher_tpu.structures import PaddedInstances
 
@@ -113,13 +117,14 @@ def test_matcher_rpn_semantics():
     assert labels2[0] == 1
 
 
-def test_subsample_balanced():
+def test_random_priority_topk():
     rng = jax.random.PRNGKey(0)
-    labels = jnp.asarray([1] * 10 + [0] * 100 + [-1] * 5, jnp.int32)
-    out = subsample_labels(labels, 32, 0.5, rng)
-    assert int((out == 1).sum()) == 10  # all positives kept (< 16 desired)
-    assert int((out == 0).sum()) == 22  # negatives fill to 32
-    assert int((out >= 0).sum()) == 32
+    eligible = jnp.asarray([True] * 10 + [False] * 100)
+    idx, ok = random_priority_topk(eligible, 16, rng)
+    assert idx.shape == (16,)
+    assert int(ok.sum()) == 10            # only 10 eligible exist
+    assert bool(eligible[idx[ok]].all())  # every ok row hit an eligible one
+    assert len(set(np.asarray(idx[ok]).tolist())) == 10  # no duplicates
 
 
 def test_roi_align_matches_torchvision_formula():

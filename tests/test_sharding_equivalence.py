@@ -154,3 +154,67 @@ def test_rcnn_mutual_sharded_matches_unsharded():
             atol=0.05 if loose else 1e-5,
             err_msg=k,
         )
+
+
+def test_fcos_mutual_sharded_matches_unsharded():
+    """FCOS mutual step — the fused 3B-batch student forward, the
+    stop_frozen_gradients tree, both NMS decodes and the EMA update —
+    sharded over the 8-device mesh matches the unsharded step."""
+    assert jax.device_count() >= 8
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.merge_from_file(_CFG_PATH)
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.FCOS.NUM_CLASSES = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.MAX_GT = 4
+    cfg.TPU.MAX_PSEUDO = 10
+    cfg.TPU.NMS_CANDIDATES = 50
+    cfg.SEMISUPNET.BURN_UP_STEP = 0
+    cfg.freeze()
+
+    model = build_one_stage_detector(cfg)
+    b, h, w = 8, 64, 64
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3)))[
+        "params"
+    ]
+    tx = build_optimizer(cfg, params)
+    _, mutual = make_fcos_train_steps(cfg, model, tx)
+
+    rng = np.random.default_rng(3)
+    m = cfg.TPU.MAX_GT
+    boxes = np.zeros((b, m, 4), np.float32)
+    mask = np.zeros((b, m), bool)
+    boxes[:, 0] = [8, 8, 40, 44]
+    mask[:, 0] = True
+    gt = PaddedInstances(
+        jnp.asarray(boxes),
+        jnp.asarray(rng.integers(0, 4, (b, m)).astype(np.int32)),
+        jnp.ones((b, m)), jnp.zeros((b, m, 4)), jnp.asarray(mask),
+    )
+    imgs = jnp.asarray(
+        rng.normal(110, 40, (b, h, w, 3)).clip(0, 255).astype(np.float32)
+    )
+    batch = {"images_label_k": imgs, "gt_label": gt,
+             "images_unlabel_k": imgs, "rng": jax.random.PRNGKey(9)}
+
+    state1 = FCOSTrainState.create(jax.tree.map(jnp.array, params), tx)
+    _, m_un = mutual(state1, batch)
+    m1 = {k: float(v) for k, v in jax.device_get(m_un).items()}
+
+    mesh = get_mesh(8)
+    state2 = FCOSTrainState.create(jax.tree.map(jnp.array, params), tx)
+    state2 = jax.device_put(state2, replicate(mesh))
+    _, m_sh = mutual(state2, shard_batch(batch, mesh))
+    m2 = {k: float(v) for k, v in jax.device_get(m_sh).items()}
+
+    # same two-tier tolerances as the RCNN variant: pseudo terms sit
+    # behind hard score thresholds on a random-init teacher
+    for k in m1:
+        loose = "pseudo" in k or k in ("total_loss", "teacher_better_student")
+        np.testing.assert_allclose(
+            m1[k], m2[k],
+            rtol=0.2 if loose else 1e-4,
+            atol=0.05 if loose else 1e-5,
+            err_msg=k,
+        )

@@ -127,10 +127,14 @@ def main() -> None:
         UBRCNNTeacherTrainer, UBTeacherTrainer,
     )
 
+    if args.images < 16:
+        # both streams need a non-empty split or the two-stream loader
+        # blocks forever waiting to fill an unlabeled batch
+        ap.error("--images must be >= 16 (half labeled, half unlabeled)")
     tmp = Path(tempfile.mkdtemp(prefix="ubt_sanity_"))
     json_path, img_dir, arrays = synthetic_coco(tmp, args.images, args.size)
     dicts, meta = load_coco_json(json_path, img_dir)
-    n_label = max(args.images // 2, 8)
+    n_label = args.images // 2
     datasets = {
         "train": dicts[:n_label],
         "train_unlabel": dicts[n_label:],

@@ -247,6 +247,7 @@ class UBTeacherTrainer:
             if cfg.TEST.EVAL_PERIOD and nxt % cfg.TEST.EVAL_PERIOD == 0:
                 self._eval_and_log()
         self.checkpointer.wait_until_finished()
+        self.storage.close()
         if cfg.TEST.EXPECTED_RESULTS:
             verify_results(cfg, self.test(model="teacher"))
 

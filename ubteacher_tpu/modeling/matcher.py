@@ -58,38 +58,20 @@ def match(
     return matched_idxs, anchor_labels
 
 
-def subsample_labels(
-    labels: jnp.ndarray,   # (A,) in {-1, 0, 1}
-    num_samples: int,
-    positive_fraction: float,
+def random_priority_topk(
+    eligible: jnp.ndarray,   # (A,) bool
+    k: int,
     rng: jnp.ndarray,
-) -> jnp.ndarray:
-    """Return labels with all but a balanced random subset set to -1
-    (D2 subsample_labels semantics, fixed shape via random-priority top-k)."""
-    kp, kn = jax.random.split(rng)
-    pos = labels == 1
-    neg = labels == 0
-    num_pos_desired = int(num_samples * positive_fraction)
-
-    pos_pri = jnp.where(pos, jax.random.uniform(kp, labels.shape), NEG_INF)
-    _, pos_idx = jax.lax.top_k(pos_pri, min(num_pos_desired, labels.shape[0]))
-    pos_sel = jnp.zeros(labels.shape, bool).at[pos_idx].set(True) & pos
-    n_pos = pos_sel.sum()
-
-    # negatives fill the remaining slots; n_neg <= num_samples, so the
-    # top-num_samples negatives by priority always contain the selection
-    # (top_k beats a full-width argsort + rank scatter by ~10x on TPU)
-    neg_pri = jnp.where(neg, jax.random.uniform(kn, labels.shape), NEG_INF)
-    k = min(num_samples, labels.shape[0])
-    neg_vals, neg_idx = jax.lax.top_k(neg_pri, k)
-    n_neg = num_samples - n_pos
-    neg_ok = (jnp.arange(k) < n_neg) & (neg_vals > NEG_INF / 2)
-    neg_sel = jnp.zeros(labels.shape, bool).at[neg_idx].set(neg_ok)
-
-    out = jnp.full_like(labels, -1)
-    out = jnp.where(pos_sel, 1, out)
-    out = jnp.where(neg_sel, 0, out)
-    return out
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniformly sample up to k True positions, fixed-shape: top-k over a
+    random priority (NEG_INF where not eligible). Returns (idx (k,),
+    ok (k,)) with ok marking rows that hit an eligible position. The
+    fixed-shape replacement for D2 subsample_labels' host-side random
+    permutation (top_k beats a full-width argsort + rank scatter ~10x on
+    TPU at RPN anchor counts)."""
+    pri = jnp.where(eligible, jax.random.uniform(rng, eligible.shape), NEG_INF)
+    vals, idx = jax.lax.top_k(pri, min(k, eligible.shape[0]))
+    return idx, vals > NEG_INF / 2
 
 
 def sample_topk_indices(

@@ -23,7 +23,7 @@ from ..ops import losses as L
 from ..ops.boxes import clip_boxes
 from ..ops.nms import batched_nms_keep, top_k_detections
 from .box_regression import Box2BoxTransform
-from .matcher import NEG_INF, match, match_quality
+from .matcher import match, match_quality, random_priority_topk
 
 
 class RPNHead(nn.Module):
@@ -91,18 +91,15 @@ def label_anchors(
     # D2 subsample_labels semantics: up to pf*N random positives, negatives
     # fill the remaining slots. Random-priority top-k keeps it fixed-shape.
     kp, kn = jax.random.split(rng)
-    a = labels.shape[0]
-    num_pos_desired = min(int(batch_size_per_image * positive_fraction), a)
-    num_neg_slots = min(batch_size_per_image, a)
-    pos_pri = jnp.where(labels == 1, jax.random.uniform(kp, (a,)), NEG_INF)
-    pos_vals, pos_idx = jax.lax.top_k(pos_pri, num_pos_desired)
-    pos_ok = pos_vals > NEG_INF / 2
+    num_pos_desired = int(batch_size_per_image * positive_fraction)
+    pos_idx, pos_ok = random_priority_topk(labels == 1, num_pos_desired, kp)
     n_pos = pos_ok.sum()
-    neg_pri = jnp.where(labels == 0, jax.random.uniform(kn, (a,)), NEG_INF)
-    neg_vals, neg_idx = jax.lax.top_k(neg_pri, num_neg_slots)
+    neg_idx, neg_avail = random_priority_topk(
+        labels == 0, batch_size_per_image, kn
+    )
     neg_ok = (
-        jnp.arange(num_neg_slots) < batch_size_per_image - n_pos
-    ) & (neg_vals > NEG_INF / 2)
+        jnp.arange(neg_idx.shape[0]) < batch_size_per_image - n_pos
+    ) & neg_avail
 
     idx = jnp.concatenate([pos_idx, neg_idx])
     sel_labels = jnp.concatenate(

@@ -15,15 +15,19 @@ Math: bilinear interpolation along an axis is a sparse weight row
 w[p, h] = relu(1 - |y_p - h|); averaging the s x s samples per bin is
 linear, so it folds into the weights (wy_bin[p] = mean_i wy[p*s+i]). The
 whole pooled output for one roi is then ONE matmul:
-    out[(p,q), c] = sum_{(h,w)} W2[(p,q), (h,w)] * crop[(h,w), c]
-with W2 = kron(wy_bin, wx_bin) built by XLA outside the kernel. (P*P, W*W)
-@ (W*W, C) = (49, 1024) @ (1024, C) rides the MXU; all kernel reshapes
-only collapse/expand major dims (layout-preserving on TPU tiles).
+    out[(p,q), c] = sum_{(h,w)} W2t[(h,w), (p,q)] * crop[(h,w), c]
+with W2t = kron(wy_bin, wx_bin), TRANSPOSED and built in VMEM inside the
+kernel from the small separable factors (_kron_in_kernel — the former
+XLA-side (N, P*P, Wh*Ww) tensor cost >1 GB of HBM plus a same-size layout
+copy at RCNN shapes). (W*W, P*P) contracted on its first dim against
+(W*W, C) rides the MXU; all kernel reshapes only collapse/expand major
+dims (layout-preserving on TPU tiles — Mosaic rejects minor-dim merges,
+which is why the kron is built with P*P as the lane dim).
 
 The backward (d/dfeatures only — proposals are detached, like D2's
 ROIAlign which never backprops to roi coords) is the exact transpose:
-dcrop = W2^T @ g per roi, accumulated into the per-level feature gradient
-by read-modify-write DMA. TPU grid steps run sequentially on a core, so
+dcrop = W2t @ g per roi (a plain matmul in the transposed layout),
+accumulated into the per-level feature gradient by read-modify-write DMA. TPU grid steps run sequentially on a core, so
 overlapping roi windows accumulate without races.
 
 Oversized rois (clamped into p5 by FPN level assignment with a span larger

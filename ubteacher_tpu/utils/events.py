@@ -70,6 +70,10 @@ class EventStorage:
         if self._tb is not None:
             for k, v in means.items():
                 self._tb.add_scalar(k, v, self._iter)
+            # the writer's event thread only flushes every ~120 s and
+            # guarantees durability only on close(); flush per log period
+            # so short or crashed runs don't lose their scalars
+            self._tb.flush()
         loss_str = "  ".join(
             f"{k}: {v:.4g}" for k, v in sorted(means.items())
             if k.startswith(("loss", "total"))
@@ -78,6 +82,14 @@ class EventStorage:
             "iter: %d  %s  sec/iter: %.3f", self._iter, loss_str, sec_per_iter
         )
         self._buffer.clear()
+
+    def close(self) -> None:
+        """Flush pending scalars and close the TensorBoard writer."""
+        if self._buffer:
+            self._flush()
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
 
 def setup_logger(output_dir: str | None = None) -> logging.Logger:
