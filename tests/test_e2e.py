@@ -183,3 +183,38 @@ def test_divide_label_unlabel_seed_file(tmp_path):
     assert [d["idx"] for d in label] == [d["idx"] for d in label2]  # deterministic
     label3, _ = divide_label_unlabel(dicts, 10.0, 1, str(seed_path))
     assert [d["idx"] for d in label] != [d["idx"] for d in label3]
+
+
+def test_checkpoint_save_and_resume(tmp_path):
+    """Train 4 steps (checkpointing each 2), rebuild the trainer, resume:
+    the restored {student, teacher, opt_state, step} pytree must match
+    bitwise and training continues from the saved iteration (reference:
+    resume path SURVEY.md E4, trainer.py:88-109)."""
+    json_path, img_dir, arrays = _synthetic_coco(tmp_path)
+    dicts, meta = load_coco_json(json_path, img_dir)
+    cfg = _tiny_cfg(tmp_path)
+    cfg.SOLVER.CHECKPOINT_PERIOD = 2
+    cfg.freeze()
+    datasets = {
+        "train": dicts[:6], "train_unlabel": dicts[6:], "test": dicts[:2],
+        "meta": meta,
+    }
+    t1 = UBTeacherTrainer(cfg, datasets=datasets,
+                          image_loader=lambda f: arrays[f])
+    t1.train()  # 4 steps, checkpoints at 2 and 4
+    assert int(jax.device_get(t1.state.step)) == 4
+    saved = jax.device_get(t1.state)
+
+    t2 = UBTeacherTrainer(cfg, datasets=datasets,
+                          image_loader=lambda f: arrays[f])
+    t2.resume_or_load(resume=True)
+    assert t2.start_iter == 4
+    restored = jax.device_get(t2.state)
+    for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fresh start (resume=False) ignores the checkpoint
+    t3 = UBTeacherTrainer(cfg, datasets=datasets,
+                          image_loader=lambda f: arrays[f])
+    t3.resume_or_load(resume=False)
+    assert t3.start_iter == 0
