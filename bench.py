@@ -28,9 +28,9 @@ import numpy as np
 REFERENCE_IMG_PER_SEC_PER_CHIP = 11.4  # estimated; see module docstring
 
 # Per-chip batch: the FCOS recipe's ENTIRE global batch (8 labeled + 8
-# unlabeled over 4 GPUs, README.md:114-148) fits on one v5e chip and scales
-# throughput super-linearly vs the 2+2 per-chip reference load
-# (measured: 2+2 -> 18.4, 4+4 -> 25.7, 8+8 -> 37.5 img/s/chip).
+# unlabeled over 4 GPUs, README.md:114-148) fits on one v5e chip; 8+8 is
+# the measured throughput sweet spot (2+2 -> 18.4, 4+4 -> 25.7,
+# 8+8 -> 55.0, 16+16 -> 52.4 img/s/chip — compute-bound beyond 8+8).
 BATCH_LABEL = 8
 BATCH_UNLABEL = 8
 CANVAS = (768, 1344)
