@@ -95,8 +95,8 @@ def test_train_net_cli_train_and_eval(tmp_path, monkeypatch):
     )
     train_net.main(args)  # 1 burn-in + 1 mutual step, checkpoint at end
     assert (out_dir / "log.txt").exists()
-    ckpts = [p for p in out_dir.iterdir() if "checkpoint" in p.name.lower()
-             or p.is_dir()]
+    ckpts = [p for p in out_dir.iterdir()
+             if "checkpoint" in p.name.lower()]
     assert ckpts, f"no checkpoint written in {list(out_dir.iterdir())}"
 
     # --eval-only --resume evaluates the TEACHER from the checkpoint

@@ -195,8 +195,11 @@ def _gaussian_blur(x, sigma, taps: int = 9):
     Implemented as two banded matmuls (one per axis) instead of 3-channel
     depthwise convolutions: a 3-feature conv uses 3/128 MXU lanes and XLA
     pads/relayouts around it (~12 ms/step profiled on v5e at batch 12),
-    while the (W, W)/(H, H) band matrices ride the MXU at full tilt for
-    ~0.2 GFLOP/image. Edge clamping is folded into the band matrices, so
+    while the (W, W)/(H, H) band matrices ride the MXU at full tilt. Cost
+    is 2*H*W*(H+W)*C MACs/image (~13 GFLOP at the 768x1344 canvas) — far
+    more FLOPs than the ~0.1 GFLOP depthwise conv, but measurably faster
+    on v5e because they are dense MXU matmuls instead of lane-starved
+    convs. Edge clamping is folded into the band matrices, so
     this equals the edge-padded conv exactly.
     """
     half = taps // 2

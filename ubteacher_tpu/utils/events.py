@@ -36,12 +36,18 @@ class EventStorage:
         if tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
-
-                self._tb = SummaryWriter(
-                    log_dir=os.path.join(output_dir, "tensorboard")
-                )
-            except Exception:
-                self._tb = None
+            except ImportError:
+                SummaryWriter = None  # optional dep absent: silently off
+            if SummaryWriter is not None:
+                try:
+                    self._tb = SummaryWriter(
+                        log_dir=os.path.join(output_dir, "tensorboard")
+                    )
+                except Exception as e:
+                    logging.getLogger(__name__).warning(
+                        "TensorBoard writer disabled: %s", e
+                    )
+                    self._tb = None
 
     @property
     def iter(self) -> int:
