@@ -98,23 +98,37 @@ def make_fcos_train_steps(
     max_pseudo = cfg.TPU.MAX_PSEUDO
     freeze_at = cfg.MODEL.BACKBONE.FREEZE_AT
 
-    def _sup_losses_from_dense(dense, hw, gt):
+    def _hw_or_canvas(batch, key, images):
+        """(B, 2) float32 true sizes; full canvas when the batch ships none."""
+        hw = batch.get(key)
+        if hw is None:
+            b = images.shape[0]
+            h, w = images.shape[1:3]
+            return jnp.broadcast_to(
+                jnp.asarray([h, w], jnp.float32)[None, :], (b, 2)
+            )
+        return jnp.asarray(hw, jnp.float32)
+
+    def _sup_losses_from_dense(dense, hw, gt, image_hw=None):
         grid = compute_locations(hw, strides)
         targets = fcos_assign_targets(
             grid, gt, fcfg["num_classes"], fcfg["center_sample"],
-            fcfg["pos_radius"],
+            fcfg["pos_radius"], image_hw=image_hw,
         )
         return fcos_supervised_losses(dense, targets, fcfg)
 
-    def _sup_losses(params, images, gt):
-        dense = model.apply({"params": params}, images)
-        return _sup_losses_from_dense(dense, images.shape[1:3], gt)
+    def _sup_losses(params, images, gt, image_hw=None):
+        dense = model.apply({"params": params}, images, image_hw)
+        return _sup_losses_from_dense(
+            dense, images.shape[1:3], gt, image_hw=image_hw
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def burnin_step(state: FCOSTrainState, batch: Dict[str, Any]):
         """Supervised-only step on labeled strong+weak
         (reference: trainer.py:191-210)."""
         label_q = strong_augment(batch["images_label_k"], batch["rng"])
+        label_hw = _hw_or_canvas(batch, "label_hw", batch["images_label_k"])
 
         def loss_fn(params):
             params = stop_frozen_gradients(params, freeze_at)
@@ -122,7 +136,8 @@ def make_fcos_train_steps(
             gt2 = jax.tree.map(
                 lambda x: jnp.concatenate([x, x], axis=0), batch["gt_label"]
             )
-            losses = _sup_losses(params, images, gt2)
+            hw2 = jnp.concatenate([label_hw, label_hw], axis=0)
+            losses = _sup_losses(params, images, gt2, image_hw=hw2)
             return sum(losses.values()), losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -137,14 +152,10 @@ def make_fcos_train_steps(
         metrics["total_loss"] = total
         return new_state, metrics
 
-    def _decode_teacher(dense_t, images, nms_method):
+    def _decode_teacher(dense_t, images, nms_method, hw):
         h, w = images.shape[1:3]
         grid = compute_locations((h, w), strides)
         lengths = [fh * fw for fh, fw in level_feature_sizes((h, w), strides)]
-        bsz = images.shape[0]
-        hw = jnp.broadcast_to(
-            jnp.asarray([h, w], jnp.float32)[None, :], (bsz, 2)
-        )
         return fcos_decode(
             dense_t,
             grid,
@@ -173,9 +184,15 @@ def make_fcos_train_steps(
 
         # teacher forward (no grad by construction: outside loss_fn)
         unl_k = batch["images_unlabel_k"]
-        dense_t = model.apply({"params": teacher}, unl_k)
-        det_cls = _decode_teacher(dense_t, unl_k, f.NMS_CRITERIA_TRAIN)
-        det_reg = _decode_teacher(dense_t, unl_k, f.NMS_CRITERIA_REG_TRAIN)
+        unlabel_hw = _hw_or_canvas(batch, "unlabel_hw", unl_k)
+        label_hw = _hw_or_canvas(batch, "label_hw", batch["images_label_k"])
+        dense_t = model.apply({"params": teacher}, unl_k, unlabel_hw)
+        det_cls = _decode_teacher(
+            dense_t, unl_k, f.NMS_CRITERIA_TRAIN, unlabel_hw
+        )
+        det_reg = _decode_teacher(
+            dense_t, unl_k, f.NMS_CRITERIA_REG_TRAIN, unlabel_hw
+        )
         # PSEUDO_BBOX_SAMPLE dispatch (reference: trainer.py:244-294)
         from ..modeling.fcos_outputs import threshold_pseudo_labels_cls_ctr
 
@@ -211,6 +228,7 @@ def make_fcos_train_steps(
             gt2 = jax.tree.map(
                 lambda x: jnp.concatenate([x, x], axis=0), batch["gt_label"]
             )
+            hw_l = jnp.concatenate([label_hw, label_hw], axis=0)
             if unl_q.shape[1:3] == images_l.shape[1:3]:
                 # one backbone+head launch over labeled strong+weak AND
                 # unlabeled strong (same canvas): one conv dispatch per
@@ -218,24 +236,29 @@ def make_fcos_train_steps(
                 dense_all = model.apply(
                     {"params": params},
                     jnp.concatenate([images_l, unl_q], axis=0),
+                    jnp.concatenate([hw_l, unlabel_hw], axis=0),
                 )
                 nl = images_l.shape[0]
                 dense_l = jax.tree.map(lambda x: x[:nl], dense_all)
                 dense_u = jax.tree.map(lambda x: x[nl:], dense_all)
             else:  # mixed aspect buckets: separate programs per canvas
-                dense_l = model.apply({"params": params}, images_l)
-                dense_u = model.apply({"params": params}, unl_q)
-            sup = _sup_losses_from_dense(dense_l, images_l.shape[1:3], gt2)
+                dense_l = model.apply({"params": params}, images_l, hw_l)
+                dense_u = model.apply({"params": params}, unl_q, unlabel_hw)
+            sup = _sup_losses_from_dense(
+                dense_l, images_l.shape[1:3], gt2, image_hw=hw_l
+            )
 
             grid_u = compute_locations(unl_q.shape[1:3], strides)
             cls_targets = fcos_assign_targets(
                 grid_u, pseudo_cls, fcfg["num_classes"],
                 fcfg["center_sample"], fcfg["pos_radius"],
                 ignore_near=sem.PSEUDO_CLS_IGNORE_NEAR,
+                image_hw=unlabel_hw,
             )
             reg_targets = fcos_assign_targets(
                 grid_u, pseudo_reg, fcfg["num_classes"],
                 fcfg["center_sample"], fcfg["pos_radius"],
+                image_hw=unlabel_hw,
             )
             unsup = fcos_pseudo_losses(
                 dense_u, cls_targets, reg_targets, fcfg,

@@ -38,7 +38,12 @@ from ..modeling.fast_rcnn import (
     focal_ce_loss,
     sample_proposals_batch,
 )
-from ..modeling.rpn import find_top_proposals, label_anchors, rpn_losses
+from ..modeling.rpn import (
+    anchor_validity,
+    find_top_proposals,
+    label_anchors,
+    rpn_losses,
+)
 from ..solver.build import stop_frozen_gradients
 from ..structures import PaddedInstances
 from .fcos_trainer import FCOSTrainState, _ema_update
@@ -78,8 +83,16 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         h, w = images.shape[1:3]
         return jnp.broadcast_to(jnp.asarray([h, w], jnp.float32)[None], (b, 2))
 
-    def _proposals(params, images, train: bool):
-        pyramid = model.apply({"params": params}, images, method=model.features)
+    def _hw_or_canvas(batch, key, images):
+        hw = batch.get(key)
+        if hw is None:
+            return _image_hw(images)
+        return jnp.asarray(hw, jnp.float32)
+
+    def _proposals(params, images, train: bool, hw):
+        pyramid = model.apply(
+            {"params": params}, images, hw, method=model.features
+        )
         logits, deltas = model.apply(
             {"params": params}, pyramid, method=model.rpn
         )
@@ -90,31 +103,35 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         boxes, scores, mask = find_top_proposals(
             anch["anchors"], anch["level_lengths"], anch["level_ids"],
             jax.lax.stop_gradient(logits), jax.lax.stop_gradient(deltas),
-            _image_hw(images), rpn_box2box,
+            hw, rpn_box2box,
             rpn_cfg.PRE_NMS_TOPK_TRAIN if train else rpn_cfg.PRE_NMS_TOPK_TEST,
             rpn_cfg.POST_NMS_TOPK_TRAIN if train else rpn_cfg.POST_NMS_TOPK_TEST,
             rpn_cfg.NMS_THRESH,
             total_candidates=max(cfg.TPU.NMS_CANDIDATES,
                                  rpn_cfg.POST_NMS_TOPK_TRAIN if train
                                  else rpn_cfg.POST_NMS_TOPK_TEST),
+            cell_origins=anch["cell_origins"],
         )
         return pyramid, logits, deltas, anch, boxes, scores, mask
 
     def _supervised_branch(params, images, gt, rng, use_confidence: bool,
-                           pseudo: bool):
+                           pseudo: bool, hw=None):
         """RPN + ROI losses for one branch (reference rcnn.py:23-68)."""
+        if hw is None:
+            hw = _image_hw(images)
         pyramid, logits, deltas, anch, pboxes, pscores, pmask = _proposals(
-            params, images, train=True
+            params, images, train=True, hw=hw
         )
         k_anchor, k_sample = jax.random.split(rng)
         b = images.shape[0]
         anchor_keys = jax.random.split(k_anchor, b)
         labeled = jax.vmap(
-            lambda g, k: label_anchors(
+            lambda g, k, one_hw: label_anchors(
                 anch["anchors"], g, rpn_cfg.BATCH_SIZE_PER_IMAGE,
                 rpn_cfg.POSITIVE_FRACTION, k, use_confidence,
+                anchor_valid=anchor_validity(anch["cell_origins"], one_hw),
             )
-        )(gt, anchor_keys)
+        )(gt, anchor_keys, hw)
         rpn_l = rpn_losses(
             anch["anchors"], logits, deltas, labeled,
             rpn_box2box, rpn_cfg.BATCH_SIZE_PER_IMAGE,
@@ -174,6 +191,7 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
     def burnin_step(state: RCNNTrainState, batch: Dict[str, Any]):
         k_aug, k_branch = jax.random.split(batch["rng"])
         label_q = strong_augment(batch["images_label_k"], k_aug)
+        label_hw = _hw_or_canvas(batch, "label_hw", batch["images_label_k"])
 
         def loss_fn(params):
             params = stop_frozen_gradients(params, cfg.MODEL.BACKBONE.FREEZE_AT)
@@ -183,7 +201,7 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
             )
             losses = _supervised_branch(
                 params, images, gt2, k_branch, use_confidence=False,
-                pseudo=False,
+                pseudo=False, hw=jnp.concatenate([label_hw, label_hw], 0),
             )
             return sum(losses.values()), losses
 
@@ -209,14 +227,16 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
 
         # teacher branch: unsup_data_weak (reference rcnn.py:32-55)
         unl_k = batch["images_unlabel_k"]
+        unlabel_hw = _hw_or_canvas(batch, "unlabel_hw", unl_k)
+        label_hw = _hw_or_canvas(batch, "label_hw", batch["images_label_k"])
         pyramid_t, _, _, _, pboxes_t, _, pmask_t = _proposals(
-            teacher, unl_k, train=False
+            teacher, unl_k, train=False, hw=unlabel_hw
         )
         scores_t, deltas_t, std_t = model.apply(
             {"params": teacher}, pyramid_t, pboxes_t, method=model.roi_box
         )
         dets = fast_rcnn_inference(
-            pboxes_t, pmask_t, scores_t, deltas_t, std_t, _image_hw(unl_k),
+            pboxes_t, pmask_t, scores_t, deltas_t, std_t, unlabel_hw,
             roi_box2box, roi_cfg.SCORE_THRESH_TEST, roi_cfg.NMS_THRESH_TEST,
             cfg.TEST.DETECTIONS_PER_IMAGE,
             total_candidates=cfg.TPU.NMS_CANDIDATES,
@@ -235,11 +255,11 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
             )
             sup = _supervised_branch(
                 params, images_l, gt2, k_sup, use_confidence=False,
-                pseudo=False,
+                pseudo=False, hw=jnp.concatenate([label_hw, label_hw], 0),
             )
             unsup = _supervised_branch(
                 params, unl_q, pseudo, k_unsup, use_confidence=True,
-                pseudo=True,
+                pseudo=True, hw=unlabel_hw,
             )
             weighted = {}
             for k, v in sup.items():
@@ -270,6 +290,42 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
     return burnin_step, mutual_step
 
 
+def make_rcnn_proposal_fn(cfg, model) -> Callable:
+    """(params, images, hw) -> (boxes (B,P,4), objectness (B,P), mask),
+    jitted — RPN proposals at test settings, for the box-proposal AR path
+    (reference: coco_evaluation.py:142-143 captures output['proposals'])."""
+    rpn_cfg = cfg.MODEL.RPN
+    strides = [2 ** int(f[1:]) for f in rpn_cfg.IN_FEATURES]
+    rpn_box2box = Box2BoxTransform(tuple(rpn_cfg.BBOX_REG_WEIGHTS))
+
+    @jax.jit
+    def proposals(params, images, hw):
+        pyramid = model.apply(
+            {"params": params}, images, hw, method=model.features
+        )
+        logits, deltas = model.apply(
+            {"params": params}, pyramid, method=model.rpn
+        )
+        anch = generate_anchors(
+            images.shape[1:3], strides,
+            [list(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES],
+            [list(a) for a in cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS],
+            cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
+        )
+        return find_top_proposals(
+            anch["anchors"], anch["level_lengths"], anch["level_ids"],
+            logits, deltas, hw, rpn_box2box,
+            rpn_cfg.PRE_NMS_TOPK_TEST, rpn_cfg.POST_NMS_TOPK_TEST,
+            rpn_cfg.NMS_THRESH,
+            total_candidates=max(
+                cfg.TPU.NMS_CANDIDATES * 2, rpn_cfg.POST_NMS_TOPK_TEST
+            ),
+            cell_origins=anch["cell_origins"],
+        )
+
+    return proposals
+
+
 def make_rcnn_inference_fn(cfg, model) -> Callable:
     """(params, images, hw) -> Detections, jitted (eval path; reference
     inherits stock GeneralizedRCNN.inference, SURVEY.md §3 E3)."""
@@ -281,7 +337,9 @@ def make_rcnn_inference_fn(cfg, model) -> Callable:
 
     @jax.jit
     def infer(params, images, hw):
-        pyramid = model.apply({"params": params}, images, method=model.features)
+        pyramid = model.apply(
+            {"params": params}, images, hw, method=model.features
+        )
         logits, deltas = model.apply({"params": params}, pyramid, method=model.rpn)
         anch = generate_anchors(
             images.shape[1:3], strides,
@@ -289,14 +347,12 @@ def make_rcnn_inference_fn(cfg, model) -> Callable:
             [list(a) for a in cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS],
             cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
         )
-        b = images.shape[0]
-        ih, iw = images.shape[1:3]
-        img_hw = jnp.broadcast_to(jnp.asarray([ih, iw], jnp.float32)[None], (b, 2))
         pboxes, _, pmask = find_top_proposals(
             anch["anchors"], anch["level_lengths"], anch["level_ids"],
-            logits, deltas, img_hw, rpn_box2box,
+            logits, deltas, hw, rpn_box2box,
             rpn_cfg.PRE_NMS_TOPK_TEST, rpn_cfg.POST_NMS_TOPK_TEST,
             rpn_cfg.NMS_THRESH, total_candidates=cfg.TPU.NMS_CANDIDATES * 2,
+            cell_origins=anch["cell_origins"],
         )
         scores, bdeltas, bstd = model.apply(
             {"params": params}, pyramid, pboxes, method=model.roi_box

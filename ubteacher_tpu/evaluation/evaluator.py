@@ -34,7 +34,7 @@ def make_fcos_inference_fn(cfg, model, nms_method: str | None = None) -> Callabl
 
     @jax.jit
     def infer(params, images, hw):
-        dense = model.apply({"params": params}, images)
+        dense = model.apply({"params": params}, images, hw)
         h, w = images.shape[1:3]
         grid = compute_locations((h, w), strides)
         lengths = [fh * fw for fh, fw in level_feature_sizes((h, w), strides)]
@@ -60,12 +60,16 @@ def inference_on_dataset(
     nms_method: str | None = None,
     num_classes: int | None = None,
     infer_fn: Callable | None = None,
+    proposal_fn: Callable | None = None,
 ) -> Dict[str, float]:
     """Runs inference over the test loader and computes COCO bbox AP.
 
     dataset_dicts supply the ground truth (already contiguous category ids,
     xyxy boxes). infer_fn overrides the default FCOS inference (the RCNN
-    trainer passes make_rcnn_inference_fn).
+    trainer passes make_rcnn_inference_fn). proposal_fn, when given
+    ((params, images, hw) -> (boxes, objectness, mask)), additionally
+    reports box-proposal AR{,s,m,l}@{100,1000} like the reference's
+    box_proposals task (coco_evaluation.py:258-301).
     """
     num_classes = num_classes or cfg.MODEL.FCOS.NUM_CLASSES
     evaluator = COCOBboxEvaluator(num_classes)
@@ -90,6 +94,7 @@ def inference_on_dataset(
     num_warmup = 5
     total_time = 0.0
     n_images = 0
+    proposal_records = []
     for i, batch in enumerate(data_loader):
         t0 = time.perf_counter()
         dets = infer(params, jnp.asarray(batch["images"]), jnp.asarray(batch["hw"]))
@@ -98,6 +103,13 @@ def inference_on_dataset(
         if i >= num_warmup:
             total_time += dt
             n_images += batch["num_valid"]
+        if proposal_fn is not None:
+            pboxes, pscores, pmask = jax.device_get(
+                proposal_fn(
+                    params, jnp.asarray(batch["images"]),
+                    jnp.asarray(batch["hw"]),
+                )
+            )
         for bi in range(batch["num_valid"]):
             img_id = batch["image_ids"][bi]
             scale = batch["scales"][bi]
@@ -112,8 +124,33 @@ def inference_on_dataset(
             evaluator.add_detections(
                 img_id, xywh, dets.scores[bi][mask], dets.classes[bi][mask]
             )
+            if proposal_fn is not None:
+                pb = pboxes[bi][pmask[bi]] / scale
+                pb[:, 0::2] = pb[:, 0::2].clip(0, d["width"])
+                pb[:, 1::2] = pb[:, 1::2].clip(0, d["height"])
+                anns = [
+                    o for o in d["annotations"] if not o.get("iscrowd", 0)
+                ]
+                gt_xyxy = np.asarray(
+                    [o["bbox"] for o in anns], np.float64
+                ).reshape(-1, 4)
+                proposal_records.append({
+                    "proposal_boxes": pb,
+                    "objectness": pscores[bi][pmask[bi]],
+                    "gt_boxes": gt_xyxy,
+                    "gt_areas": [
+                        o.get("area", None)
+                        or (o["bbox"][2] - o["bbox"][0])
+                        * (o["bbox"][3] - o["bbox"][1])
+                        for o in anns
+                    ],
+                })
 
     results = evaluator.evaluate()
+    if proposal_fn is not None:
+        from .proposal_eval import proposal_metrics
+
+        results.update(proposal_metrics(proposal_records))
     if n_images > 0:
         results["inference_sec_per_image"] = total_time / n_images
     return results

@@ -39,8 +39,12 @@ def generate_anchors(
     """All-level anchors for a fixed canvas.
 
     Returns {"anchors": (A, 4) f32, "level_lengths": python list,
-    "level_ids": (A,) i32}. sizes/aspect_ratios broadcast over levels like
-    D2 (a single entry is shared by all levels).
+    "level_ids": (A,) i32, "cell_origins": (A, 2) f32 — the (x, y) origin
+    of each anchor's feature-map cell in canvas pixels, used to mask off
+    anchors whose cell lies beyond an image's true extent (those anchors
+    don't exist in the reference, which pads only to divisibility)}.
+    sizes/aspect_ratios broadcast over levels like D2 (a single entry is
+    shared by all levels).
     """
     h, w = canvas_hw
     n_lvl = len(strides)
@@ -51,6 +55,7 @@ def generate_anchors(
     all_anchors: List[np.ndarray] = []
     lengths: List[int] = []
     lids: List[np.ndarray] = []
+    origins: List[np.ndarray] = []
     for lvl, stride in enumerate(strides):
         fh, fw = -(-h // stride), -(-w // stride)
         base = cell_anchors(sizes[lvl], aspect_ratios[lvl])  # (A_cell, 4)
@@ -61,6 +66,10 @@ def generate_anchors(
             [gx.ravel(), gy.ravel(), gx.ravel(), gy.ravel()], axis=1
         )  # (fh*fw, 4)
         anchors = (shifts[:, None, :] + base[None, :, :]).reshape(-1, 4)
+        ox, oy = np.meshgrid(np.arange(fw) * stride, np.arange(fh) * stride)
+        cell_org = np.stack([ox.ravel(), oy.ravel()], axis=1)  # (fh*fw, 2)
+        a_cell = base.shape[0]
+        origins.append(np.repeat(cell_org, a_cell, axis=0))
         all_anchors.append(anchors)
         lengths.append(anchors.shape[0])
         lids.append(np.full(anchors.shape[0], lvl, np.int32))
@@ -68,4 +77,5 @@ def generate_anchors(
         "anchors": jnp.asarray(np.concatenate(all_anchors), jnp.float32),
         "level_lengths": lengths,
         "level_ids": jnp.asarray(np.concatenate(lids)),
+        "cell_origins": jnp.asarray(np.concatenate(origins), jnp.float32),
     }

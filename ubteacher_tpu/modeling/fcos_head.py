@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from .fcos_outputs import FCOSDense
 from .fpn import FPN, fpn_from_cfg
 from .resnet import ResNet, resnet_from_cfg
+from ..ops.boxes import mask_canvas_padding
 
 
 class GroupNorm32(nn.Module):
@@ -156,10 +157,16 @@ class OneStageDetector(nn.Module):
     pixel_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
 
-    def __call__(self, images: jnp.ndarray) -> FCOSDense:
+    def __call__(
+        self, images: jnp.ndarray, hw: jnp.ndarray | None = None
+    ) -> FCOSDense:
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         x = (images - mean) / std
+        if hw is not None:
+            # reference pads AFTER normalization (one_stage_detector.py:
+            # 59-64, 88-90): padding must be 0 in normalized space
+            x = mask_canvas_padding(x, hw)
         feats = self.backbone(x)
         pyramid = self.fpn(feats)
         return self.head([pyramid[f] for f in self.in_features])

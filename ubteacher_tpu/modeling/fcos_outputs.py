@@ -86,6 +86,25 @@ def compute_locations(
     }
 
 
+def location_validity(
+    grid: Dict[str, jnp.ndarray], image_hw: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, L) bool — locations whose cell origin lies inside the true image.
+
+    In the reference each image's feature maps only cover that image padded
+    to size_divisibility (one_stage_detector.py:88-90), so locations beyond
+    the image simply don't exist; on a fixed canvas they do, and without
+    this mask the (potentially large) zero-padded area would count as real
+    background in the cls loss and could emit pseudo boxes. A location at
+    level stride s with index i covers pixels [i*s, (i+1)*s); it is valid
+    iff i*s < dim, i.e. the cell overlaps the image.
+    """
+    x0 = grid["locations"][:, 0] - grid["strides"] * 0.5  # == i * stride
+    y0 = grid["locations"][:, 1] - grid["strides"] * 0.5
+    hw = image_hw.astype(jnp.float32)
+    return (x0[None, :] < hw[:, 1:2]) & (y0[None, :] < hw[:, 0:1])
+
+
 # --------------------------------------------------------------------------
 # target assignment
 # --------------------------------------------------------------------------
@@ -202,12 +221,18 @@ def fcos_assign_targets(
     center_sample: bool,
     radius: float,
     ignore_near: bool = False,
+    image_hw: jnp.ndarray | None = None,
 ) -> FCOSTargets:
+    """image_hw (B, 2) true (h, w): when given, locations outside each
+    image's true extent are dropped from `keep` (and hence `pos`), so the
+    fixed canvas's padding never contributes loss (see location_validity)."""
     labels, reg_t, bw, bvar, keep = jax.vmap(
         lambda g: _assign_single(
             grid, g, num_classes, center_sample, radius, ignore_near
         )
     )(gt)
+    if image_hw is not None:
+        keep = keep & location_validity(grid, image_hw)
     pos = (labels != num_classes) & keep
     return FCOSTargets(
         labels=labels,
@@ -272,9 +297,10 @@ def fcos_supervised_losses(
       * centerness BCE / num_pos_avg
       * IoU-family reg loss weighted by ctrness targets / loss_denorm
       * optional KL/NLL uncertainty term — NOTE the reference multiplies
-        KLLOSS_WEIGHT twice (fcos_outputs.py:400-416: once building `nlloss`,
-        once in `reg_loss = kl_loss_weight * nlloss + iou_loss`); we replicate
-        that exactly for parity.
+        KLLOSS_WEIGHT twice in BOTH branches (fcos_outputs.py:381-397 for
+        klloss: `kl_loss = w * func(...)` then `reg_loss = w * kl_loss +
+        iou_loss`; fcos_outputs.py:399-416 identically for nlloss); we
+        replicate the double application exactly for parity.
     """
     num_classes = cfg_fcos["num_classes"]
     keep_f = targets.keep.astype(jnp.float32)
@@ -482,10 +508,19 @@ def fcos_decode(
 
     cls_sig = jax.nn.sigmoid(dense.logits)   # (B, L, C)
     ctr_sig = jax.nn.sigmoid(dense.ctrness)  # (B, L)
+    # cell origin per location, for per-image validity inside decode_one
+    loc_x0 = grid["locations"][:, 0] - grid["strides"] * 0.5
+    loc_y0 = grid["locations"][:, 1] - grid["strides"] * 0.5
 
     def decode_one(cls_s, ctr_s, regp, std, hw):
         num_loc, num_classes = cls_s.shape
-        cand = cls_s > pre_nms_thresh  # threshold on raw cls sigmoid
+        # drop candidates whose location lies beyond the true image extent —
+        # those locations don't exist in the reference (it pads only to
+        # divisibility, one_stage_detector.py:88-90); on a fixed canvas a
+        # confident detection in the zero padding would otherwise survive
+        # NMS and be clipped onto the image edge
+        loc_valid = (loc_x0 < hw[1]) & (loc_y0 < hw[0])  # (L,)
+        cand = (cls_s > pre_nms_thresh) & loc_valid[:, None]
         scores = _method_scores(cls_s, ctr_s, std, nms_method)
         masked = jnp.where(cand, scores, -1.0)
 

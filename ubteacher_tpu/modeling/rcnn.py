@@ -19,6 +19,7 @@ from .fast_rcnn import BoundaryVarOutputLayers, FastRCNNConvFCHead
 from .fpn import FPN, fpn_from_cfg
 from .resnet import ResNet, resnet_from_cfg
 from .rpn import RPNHead
+from ..ops.boxes import mask_canvas_padding
 
 
 class TwoStageRCNN(nn.Module):
@@ -33,10 +34,16 @@ class TwoStageRCNN(nn.Module):
     pixel_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
 
-    def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def features(
+        self, images: jnp.ndarray, hw: jnp.ndarray | None = None
+    ) -> Dict[str, jnp.ndarray]:
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         x = (images - mean) / std
+        if hw is not None:
+            # reference pads AFTER normalization (D2 preprocess_image +
+            # ImageList.from_tensors): padding must be 0 in normalized space
+            x = mask_canvas_padding(x, hw)
         return self.fpn(self.backbone(x))
 
     def rpn(self, pyramid: Dict[str, jnp.ndarray]):

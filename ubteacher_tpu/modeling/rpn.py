@@ -63,6 +63,20 @@ class RPNHead(nn.Module):
         return logits, out_deltas
 
 
+def anchor_validity(
+    cell_origins: jnp.ndarray, hw: jnp.ndarray
+) -> jnp.ndarray:
+    """(A,) bool — anchors whose feature-map cell overlaps the true image.
+
+    On the fixed canvas, anchors beyond an image's extent don't exist in
+    the reference (it pads only to divisibility); without this mask the
+    canvas padding would be sampled as RPN background and could emit
+    proposals. A cell at origin o with stride s covers [o, o+s); valid iff
+    o < dim.
+    """
+    return (cell_origins[:, 0] < hw[1]) & (cell_origins[:, 1] < hw[0])
+
+
 def label_anchors(
     anchors: jnp.ndarray,          # (A, 4)
     gt,                            # PaddedInstances, unbatched (M, ...)
@@ -70,6 +84,7 @@ def label_anchors(
     positive_fraction: float,
     rng: jnp.ndarray,
     use_confidence: bool,
+    anchor_valid: jnp.ndarray | None = None,  # (A,) bool
 ) -> Dict[str, jnp.ndarray]:
     """Match + subsample for one image (reference: rpn.py:78-150),
     sample-first: only the <= batch_size_per_image training anchors are
@@ -92,10 +107,15 @@ def label_anchors(
     # fill the remaining slots. Random-priority top-k keeps it fixed-shape.
     kp, kn = jax.random.split(rng)
     num_pos_desired = int(batch_size_per_image * positive_fraction)
-    pos_idx, pos_ok = random_priority_topk(labels == 1, num_pos_desired, kp)
+    pos_cand = labels == 1
+    neg_cand = labels == 0
+    if anchor_valid is not None:
+        pos_cand = pos_cand & anchor_valid
+        neg_cand = neg_cand & anchor_valid
+    pos_idx, pos_ok = random_priority_topk(pos_cand, num_pos_desired, kp)
     n_pos = pos_ok.sum()
     neg_idx, neg_avail = random_priority_topk(
-        labels == 0, batch_size_per_image, kn
+        neg_cand, batch_size_per_image, kn
     )
     neg_ok = (
         jnp.arange(neg_idx.shape[0]) < batch_size_per_image - n_pos
@@ -169,15 +189,22 @@ def find_top_proposals(
     post_nms_topk: int,
     nms_thresh: float,
     total_candidates: int = 2000,
+    cell_origins: jnp.ndarray | None = None,  # (A, 2)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """D2 find_top_rpn_proposals, fixed shape: per-level top-k by
     objectness, decode, clip, global candidate cap (bounds the O(K^2) NMS
     IoU matrix), level-wise NMS (level id as NMS class), global post-NMS
-    top-k. Returns (boxes (B,P,4), scores (B,P), mask)."""
+    top-k. When cell_origins is given, anchors beyond each image's true
+    extent are excluded (see anchor_validity). Returns (boxes (B,P,4),
+    scores (B,P), mask)."""
 
     global_cap = max(total_candidates, post_nms_topk)
 
     def per_image(logits, deltas, hw):
+        if cell_origins is not None:
+            logits = jnp.where(
+                anchor_validity(cell_origins, hw), logits, -jnp.inf
+            )
         sel_scores, sel_boxes, sel_lvls = [], [], []
         offset = 0
         for lvl, ln in enumerate(level_lengths):

@@ -109,3 +109,25 @@ def clip_boxes(boxes: jnp.ndarray, height, width) -> jnp.ndarray:
     x2 = jnp.clip(boxes[..., 2], 0, width)
     y2 = jnp.clip(boxes[..., 3], 0, height)
     return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def mask_canvas_padding(x: jnp.ndarray, hw: jnp.ndarray) -> jnp.ndarray:
+    """Zero a (B, H, W, C) canvas beyond each image's true (h, w).
+
+    Applied to NORMALIZED images: the reference normalizes then zero-pads
+    (D2 ImageList.from_tensors via one_stage_detector.py:88-90 /
+    GeneralizedRCNN.preprocess_image), so its padding is exactly 0 in
+    normalized space; a raw zero-pixel canvas would instead feed -mean/std
+    into the backbone. This restores the reference's padding semantics on
+    the fixed canvas and makes features inside the image independent of
+    canvas size (zero padding == conv boundary padding).
+    """
+    b = x.shape[0]
+    hwf = hw.astype(x.dtype)
+    rows = jnp.arange(x.shape[1], dtype=x.dtype)
+    cols = jnp.arange(x.shape[2], dtype=x.dtype)
+    valid = (
+        (rows[None, :, None] < hwf[:, 0].reshape(b, 1, 1))
+        & (cols[None, None, :] < hwf[:, 1].reshape(b, 1, 1))
+    )
+    return x * valid[..., None].astype(x.dtype)
