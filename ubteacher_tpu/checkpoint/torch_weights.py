@@ -182,6 +182,117 @@ def convert_ubt_fcos_model(state_dict: Dict[str, np.ndarray], depth: int = 50) -
     }
 
 
+class TrackingStateDict(dict):
+    """dict wrapper that records which keys a converter consumed, so tests
+    can assert zero unmapped reference parameters (VERDICT r1 item 4)."""
+
+    def __init__(self, data: Dict):
+        super().__init__(data)
+        self.used: set = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            self.used.add(k)
+        return super().get(k, default)
+
+    def unused(self, ignore_substrings=()) -> list:
+        return sorted(
+            k for k in self
+            if k not in self.used
+            and not any(s in k for s in ignore_substrings)
+        )
+
+
+def _dense(state_dict: Dict[str, np.ndarray], base: str) -> Dict[str, np.ndarray]:
+    """torch nn.Linear (out, in) -> flax Dense kernel (in, out)."""
+    return {
+        "kernel": np.ascontiguousarray(state_dict[f"{base}.weight"].T),
+        "bias": state_dict[f"{base}.bias"],
+    }
+
+
+def convert_ubt_rcnn_model(
+    state_dict: Dict[str, np.ndarray],
+    depth: int = 50,
+    pooler_resolution: int = 7,
+) -> Dict:
+    """Full reference TwoStagePseudoLabGeneralizedRCNN state dict -> our
+    TwoStageRCNN param tree {backbone, fpn, rpn_head, box_head,
+    box_predictor}.
+
+    Reference module names (D2 StandardRPNHead via PseudoLabRPN rpn.py:15;
+    FastRCNNConvFCHead fc1/fc2; *BoundaryVar predictors fast_rcnn.py:255-271
+    cls_score / bbox_pred / bbox_pred_std):
+      proposal_generator.rpn_head.{conv,objectness_logits,anchor_deltas}
+      roi_heads.box_head.fc{1,2}
+      roi_heads.box_predictor.{cls_score,bbox_pred[,bbox_pred_std]}
+
+    The RCNN FPN has no p6p7 convs (top block is a parameter-free maxpool).
+    fc1 needs an input permutation: torch flattens ROI features (C, P, P)
+    channel-major, our NHWC head flattens (P, P, C).
+    """
+    rpn_prefix = "proposal_generator.rpn_head."
+    out: Dict[str, Dict] = {
+        "backbone": convert_d2_resnet(state_dict, depth),
+        "fpn": convert_d2_fpn(state_dict),
+        "rpn_head": {
+            name: {
+                "kernel": _t(state_dict[f"{rpn_prefix}{name}.weight"]),
+                "bias": state_dict[f"{rpn_prefix}{name}.bias"],
+            }
+            for name in ("conv", "objectness_logits", "anchor_deltas")
+        },
+    }
+
+    bh = "roi_heads.box_head."
+    w1 = np.asarray(state_dict[f"{bh}fc1.weight"])  # (D, C*P*P) chw-major
+    d_out = w1.shape[0]
+    p = pooler_resolution
+    c = w1.shape[1] // (p * p)
+    k1 = np.ascontiguousarray(
+        w1.reshape(d_out, c, p, p).transpose(2, 3, 1, 0).reshape(p * p * c, d_out)
+    )
+    box_head: Dict[str, Dict] = {
+        "fc1": {"kernel": k1, "bias": state_dict[f"{bh}fc1.bias"]}
+    }
+    i = 2
+    while f"{bh}fc{i}.weight" in state_dict:
+        box_head[f"fc{i}"] = _dense(state_dict, f"{bh}fc{i}")
+        i += 1
+    out["box_head"] = box_head
+
+    bp = "roi_heads.box_predictor."
+    predictor = {
+        "cls_score": _dense(state_dict, f"{bp}cls_score"),
+        "bbox_pred": _dense(state_dict, f"{bp}bbox_pred"),
+    }
+    if f"{bp}bbox_pred_std.weight" in state_dict:  # BoundaryVar variants
+        predictor["bbox_pred_std"] = _dense(state_dict, f"{bp}bbox_pred_std")
+    out["box_predictor"] = predictor
+    return out
+
+
+def split_ensemble_state(state_dict: Dict[str, np.ndarray]) -> Dict[str, Dict]:
+    """EnsembleTSModel checkpoint -> {'teacher': sub_sd, 'student': sub_sd}
+    (reference: ts_ensemble.py:6-16 holds modelTeacher/modelStudent; DDP
+    'module.' prefixes are stripped like detection_checkpoint.py:24-28)."""
+    out: Dict[str, Dict] = {"teacher": {}, "student": {}}
+    for k, v in state_dict.items():
+        for torch_name, ours in (
+            ("modelTeacher.", "teacher"), ("modelStudent.", "student")
+        ):
+            if k.startswith(torch_name):
+                sub = k[len(torch_name):]
+                if sub.startswith("module."):
+                    sub = sub[len("module."):]
+                out[ours][sub] = v
+    return out
+
+
 def load_pretrained_backbone(params: Dict, weights_path: str, depth: int = 50) -> Dict:
     """Returns a copy of `params` with the backbone subtree replaced by the
     converted pretrained weights (student-only bootstrap; the teacher starts
