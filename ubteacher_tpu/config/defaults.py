@@ -200,6 +200,10 @@ def add_ubteacher_config(cfg: CN) -> None:
     _C.DATASETS.TRAIN_UNLABEL = ("coco_2017_train",)
     _C.DATASETS.CROSS_DATASET = False
     _C.TEST.EVALUATOR = "COCOeval"
+    # also report box-proposal AR{,s,m,l}@{100,1000} during RCNN eval
+    # (the reference derives its "box_proposals" task from model outputs,
+    # coco_evaluation.py:173-174; here it is an explicit switch)
+    _C.TEST.EVAL_PROPOSALS = False
 
     _C.SEMISUPNET = CN()
     _C.SEMISUPNET.MLP_DIM = 128

@@ -276,6 +276,7 @@ class UBTeacherTrainer:
             nms_method=self.cfg.MODEL.FCOS.NMS_CRITERIA_TEST,
             num_classes=self._num_classes(),
             infer_fn=self._infer_fn(),
+            proposal_fn=self._proposal_fn(),
         )
 
     # -- overridables (FCOS defaults) ---------------------------------------
@@ -287,6 +288,9 @@ class UBTeacherTrainer:
 
     def _infer_fn(self):
         return None  # evaluator builds the FCOS one
+
+    def _proposal_fn(self):
+        return None  # box-proposal AR is an RCNN (RPN) eval feature
 
     def _num_classes(self):
         return self.cfg.MODEL.FCOS.NUM_CLASSES
@@ -313,6 +317,13 @@ class UBRCNNTeacherTrainer(UBTeacherTrainer):
         from .rcnn_trainer import make_rcnn_inference_fn
 
         return make_rcnn_inference_fn(self.cfg, self.model)
+
+    def _proposal_fn(self):
+        if not self.cfg.TEST.EVAL_PROPOSALS:
+            return None
+        from .rcnn_trainer import make_rcnn_proposal_fn
+
+        return make_rcnn_proposal_fn(self.cfg, self.model)
 
     def _num_classes(self):
         return self.cfg.MODEL.ROI_HEADS.NUM_CLASSES
