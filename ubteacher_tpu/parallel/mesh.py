@@ -58,13 +58,32 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a host pytree, sharding each leaf's leading dim over
-    `data` when divisible; other leaves (PRNG keys, scalars) replicate."""
+    `data` when divisible; other leaves (PRNG keys, scalars) replicate.
+
+    Multi-host (jax.process_count() > 1): every host builds the SAME
+    global batch (loaders are seeded identically from cfg.SEED), and each
+    host ships only the rows owned by its addressable devices — get_mesh
+    lays devices out in process order, so host p owns rows
+    [p*B/P, (p+1)*B/P). This is the GSPMD analog of the reference's
+    per-rank loader split (build.py:227-241).
+    """
     n = mesh.shape["data"]
     sh = batch_sharding(mesh)
     rep = replicate(mesh)
+    pc = jax.process_count()
 
     def put(x):
         shaped = hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0
-        return jax.device_put(x, sh if shaped else rep)
+        if pc == 1:
+            return jax.device_put(x, sh if shaped else rep)
+        x = np.asarray(x)
+        if not shaped:
+            return jax.make_array_from_process_local_data(rep, x)
+        chunk = x.shape[0] // pc
+        pid = jax.process_index()
+        local = np.ascontiguousarray(x[pid * chunk : (pid + 1) * chunk])
+        return jax.make_array_from_process_local_data(
+            sh, local, global_shape=x.shape
+        )
 
     return jax.tree.map(put, batch)
