@@ -52,7 +52,17 @@ def main(args) -> None:
     if os.environ.get("UBT_MULTIHOST") == "1":
         import jax
 
-        jax.distributed.initialize()
+        # On TPU pods / SLURM the no-arg form auto-detects the cluster;
+        # UBT_COORDINATOR/UBT_NUM_PROCESSES/UBT_PROCESS_ID override for
+        # manual launches (and the 2-process CPU test).
+        kwargs = {}
+        if os.environ.get("UBT_COORDINATOR"):
+            kwargs = dict(
+                coordinator_address=os.environ["UBT_COORDINATOR"],
+                num_processes=int(os.environ["UBT_NUM_PROCESSES"]),
+                process_id=int(os.environ["UBT_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kwargs)
 
     cfg = setup(args)
     trainer_name = cfg.SEMISUPNET.Trainer

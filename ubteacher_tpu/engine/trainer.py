@@ -32,6 +32,22 @@ from .fcos_trainer import FCOSTrainState, make_fcos_train_steps
 logger = logging.getLogger("ubteacher_tpu")
 
 
+class _NullEventStorage:
+    """No-op EventStorage for non-zero hosts (multi-host writes are
+    rank-0-only, like the reference's PeriodicCheckpointer/writers)."""
+
+    iter = 0
+
+    def put_scalars(self, **kw):
+        pass
+
+    def step(self):
+        pass
+
+    def close(self):
+        pass
+
+
 def auto_scale_workers(cfg, num_workers: int):
     """D2 DefaultTrainer.auto_scale_workers semantics (reference:
     trainer.py:46, 620): when SOLVER.REFERENCE_WORLD_SIZE > 0, linearly
@@ -93,8 +109,14 @@ class UBTeacherTrainer:
         'test': dicts, 'meta': meta} to bypass disk COCO loading (tests)."""
         cfg = auto_scale_workers(cfg, jax.device_count())
         self.cfg = cfg
-        setup_logger(cfg.OUTPUT_DIR)
-        self.storage = EventStorage(cfg.OUTPUT_DIR)
+        # multi-host: only process 0 writes log/metrics/checkpoints
+        # (reference: rank-0 gating via comm.is_main_process, trainer.py:527)
+        self.is_main_process = jax.process_index() == 0
+        if self.is_main_process:
+            setup_logger(cfg.OUTPUT_DIR)
+            self.storage = EventStorage(cfg.OUTPUT_DIR)
+        else:
+            self.storage = _NullEventStorage()
 
         if datasets is None:
             datasets = self._load_datasets(cfg)
@@ -243,6 +265,9 @@ class UBTeacherTrainer:
             self.storage.step()
             nxt = it + 1
             if nxt % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or nxt == self.max_iter:
+                # all processes call save: orbax coordinates multi-host
+                # writes itself (a rank-gated call deadlocks on its
+                # internal sync barrier)
                 self.checkpointer.save(nxt, jax.device_get(self.state))
             if cfg.TEST.EVAL_PERIOD and nxt % cfg.TEST.EVAL_PERIOD == 0:
                 self._eval_and_log()

@@ -91,13 +91,30 @@ def inference_on_dataset(
 
     infer = infer_fn or make_fcos_inference_fn(cfg, model, nms_method)
 
+    # shard eval batches over the active data-parallel mesh so all chips
+    # work during eval (the reference shards the test set across ranks via
+    # InferenceSampler, build.py:114); requires EVAL_BATCH % n_devices == 0
+    from ..parallel import active_mesh, batch_sharding
+
+    mesh = active_mesh()
+
+    def to_device(x):
+        x = jnp.asarray(x)
+        if (
+            mesh is not None
+            and x.shape[0] % mesh.shape["data"] == 0
+            and x.shape[0] > 0
+        ):
+            return jax.device_put(x, batch_sharding(mesh))
+        return x
+
     num_warmup = 5
     total_time = 0.0
     n_images = 0
     proposal_records = []
     for i, batch in enumerate(data_loader):
         t0 = time.perf_counter()
-        dets = infer(params, jnp.asarray(batch["images"]), jnp.asarray(batch["hw"]))
+        dets = infer(params, to_device(batch["images"]), to_device(batch["hw"]))
         dets = jax.device_get(dets)
         dt = time.perf_counter() - t0
         if i >= num_warmup:
