@@ -310,6 +310,18 @@ def add_tpu_config(cfg: CN) -> None:
     # ImageList.from_tensors padding (reference: one_stage_detector.py:88-90).
     _C.TPU.CANVAS_LANDSCAPE = (768, 1344)
     _C.TPU.CANVAS_PORTRAIT = (1344, 768)
+    # Additional train-canvas scale buckets (list of [h, w]; orientation
+    # inferred). The loader buckets each batch by the smallest canvas that
+    # fits its jittered size, so MIN_SIZE_TRAIN jitter above the base
+    # canvas trains at native scale (one XLA program per canvas) instead of
+    # being downscaled to fit. The coco-standard recipes (effective jitter
+    # range (400, 1200) — NOTE the reference yamls' duplicate INPUT key:
+    # the (800,) block at fcos_R_50_ut2_sup1_run0.yaml:19-20 is shadowed by
+    # (400, 1200) "range" at :63-65, last-key-wins in yaml) add
+    # [[1024, 1344], [1344, 1024]] via their Base configs.
+    _C.TPU.EXTRA_TRAIN_CANVASES = []
+    # Eval canvas for landscape images; portrait images use the transpose
+    # (the eval loader groups batches by orientation).
     _C.TPU.TEST_CANVAS = (800, 1344)
     # Padded per-image instance capacities.
     _C.TPU.MAX_GT = 100            # ground-truth boxes per image

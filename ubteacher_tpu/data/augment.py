@@ -57,7 +57,7 @@ def resize_shortest_edge_params(
 def apply_weak_augment(
     image: np.ndarray,  # (H, W, 3) uint8, BGR
     boxes: np.ndarray,  # (M, 4) xyxy
-    canvas_hw: Tuple[int, int],
+    canvas_hw,  # (h, w) or list of (h, w) candidates (scale buckets)
     min_size,
     max_size: int,
     sampling: str,
@@ -65,11 +65,26 @@ def apply_weak_augment(
     flip: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Resize jitter + hflip + fit-to-canvas + pad. Returns the padded float32
-    image, transformed boxes, and the true (h, w) inside the canvas."""
+    image, transformed boxes, the true (h, w) inside the canvas, and the
+    chosen canvas.
+
+    `canvas_hw` may be a list of candidate canvases (scale buckets): the
+    smallest (by area) that fits the jittered size is chosen, so the full
+    MIN_SIZE_TRAIN jitter range survives on fixed shapes (one XLA program
+    per bucket) instead of being clipped to a single canvas; only images
+    exceeding every bucket are downscaled to the largest.
+    """
     import cv2
 
     h, w = image.shape[:2]
     new_h, new_w = resize_shortest_edge_params(h, w, min_size, max_size, sampling, rng)
+    if isinstance(canvas_hw[0], (tuple, list)):
+        candidates = sorted(canvas_hw, key=lambda c: c[0] * c[1])
+        canvas_hw = candidates[-1]
+        for c in candidates:
+            if new_h <= c[0] and new_w <= c[1]:
+                canvas_hw = tuple(c)
+                break
     # additionally fit into the fixed canvas (TPU fixed-shape policy)
     ch, cw = canvas_hw
     if new_h > ch or new_w > cw:
@@ -96,6 +111,7 @@ def apply_weak_augment(
         "image": canvas,
         "boxes": out_boxes,
         "hw": np.asarray([new_h, new_w], np.float32),
+        "canvas": (ch, cw),
     }
 
 

@@ -80,10 +80,18 @@ class TwoStreamDataLoader:
         self.batch_label = cfg.SOLVER.IMG_PER_BATCH_LABEL
         self.batch_unlabel = cfg.SOLVER.IMG_PER_BATCH_UNLABEL
         self.max_gt = cfg.TPU.MAX_GT
+        # per-orientation canvas candidates (scale buckets): the base canvas
+        # plus any TPU.EXTRA_TRAIN_CANVASES of matching orientation. Batches
+        # are bucketed per chosen canvas, so the full MIN_SIZE_TRAIN jitter
+        # range trains at native scale (one XLA program per canvas) instead
+        # of clipping at the base canvas.
         self.canvases = {
-            "landscape": tuple(cfg.TPU.CANVAS_LANDSCAPE),
-            "portrait": tuple(cfg.TPU.CANVAS_PORTRAIT),
+            "landscape": [tuple(cfg.TPU.CANVAS_LANDSCAPE)],
+            "portrait": [tuple(cfg.TPU.CANVAS_PORTRAIT)],
         }
+        for c in cfg.TPU.EXTRA_TRAIN_CANVASES:
+            h, w = int(c[0]), int(c[1])
+            self.canvases["landscape" if w >= h else "portrait"].append((h, w))
         self.min_size = cfg.INPUT.MIN_SIZE_TRAIN
         self.max_size = cfg.INPUT.MAX_SIZE_TRAIN
         self.sampling = cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING
@@ -122,7 +130,7 @@ class TwoStreamDataLoader:
             "image": rec["image"],
             "hw": rec["hw"],
             "gt": gt,
-            "orientation": orient,
+            "bucket": rec["canvas"],
         }
 
     def _stream(self, dicts: List[Dict], seed: int) -> Iterator[Dict]:
@@ -152,10 +160,13 @@ class TwoStreamDataLoader:
     def _batched_stream(
         self, dicts: List[Dict], batch_size: int, seed: int
     ) -> Iterator[List[Dict]]:
-        """Aspect-ratio-bucketed batching (reference: common.py:93-167)."""
-        buckets: Dict[str, List[Dict]] = {"landscape": [], "portrait": []}
+        """Aspect-ratio- and scale-bucketed batching: one bucket per chosen
+        canvas (reference groups by aspect only, common.py:93-167 — its
+        batch-max padding handles scale; fixed shapes need a bucket per
+        canvas)."""
+        buckets: Dict[tuple, List[Dict]] = {}
         for item in self._stream(dicts, seed):
-            b = buckets[item["orientation"]]
+            b = buckets.setdefault(item["bucket"], [])
             b.append(item)
             if len(b) == batch_size:
                 yield b[:]
@@ -224,51 +235,74 @@ class TwoStreamDataLoader:
 class TestDataLoader:
     """Eval loader: deterministic order, resize to MIN_SIZE_TEST shortest
     edge (no jitter, no flip), fixed test canvas, batch of 1..N
-    (reference: build_detection_test_loader, build.py:114-142)."""
+    (reference: build_detection_test_loader, build.py:114-142).
+
+    Batches are grouped by orientation so portrait images get the
+    transposed canvas — a single landscape canvas would force portrait
+    images to ~MIN_SIZE_TEST * cw/ch shortest edge (e.g. 800 -> 600), a
+    silent eval deviation from the reference's per-image padding.
+    """
 
     def __init__(self, cfg, dataset_dicts: List[Dict], batch_size: int = 1,
                  image_loader=None):
         self.cfg = cfg
         self.dicts = dataset_dicts
         self.batch_size = batch_size
-        self.canvas = tuple(cfg.TPU.TEST_CANVAS)
+        ch, cw = cfg.TPU.TEST_CANVAS
+        self.canvas = {
+            "landscape": (min(ch, cw), max(ch, cw)),
+            "portrait": (max(ch, cw), min(ch, cw)),
+        }
         self.min_size = cfg.INPUT.MIN_SIZE_TEST
         self.max_size = cfg.INPUT.MAX_SIZE_TEST
         self._image_loader = image_loader or TwoStreamDataLoader._default_loader
+        self._groups = {"landscape": [], "portrait": []}
+        for d in dataset_dicts:
+            orient = (
+                "landscape" if d.get("width", 1) >= d.get("height", 0)
+                else "portrait"
+            )
+            self._groups[orient].append(d)
 
     def __len__(self):
-        return -(-len(self.dicts) // self.batch_size)
+        return sum(
+            -(-len(g) // self.batch_size) for g in self._groups.values() if g
+        )
 
-    def __iter__(self):
+    def _emit(self, chunk: List[Dict], canvas):
         import cv2
 
-        ch, cw = self.canvas
-        for start in range(0, len(self.dicts), self.batch_size):
-            chunk = self.dicts[start : start + self.batch_size]
-            images = np.zeros((self.batch_size, ch, cw, 3), np.float32)
-            hw = np.zeros((self.batch_size, 2), np.float32)
-            scales = np.ones((self.batch_size,), np.float32)
-            ids = []
-            for i, d in enumerate(chunk):
-                img = self._image_loader(d["file_name"])
-                h, w = img.shape[:2]
-                scale = self.min_size / min(h, w)
-                if max(h, w) * scale > self.max_size:
-                    scale = self.max_size / max(h, w)
-                nh, nw = int(round(h * scale)), int(round(w * scale))
-                if nh > ch or nw > cw:
-                    s2 = min(ch / nh, cw / nw)
-                    nh, nw = int(nh * s2), int(nw * s2)
-                    scale = scale * s2
-                resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-                images[i, :nh, :nw] = resized.astype(np.float32)
-                hw[i] = (nh, nw)
-                scales[i] = scale
-                ids.append(d["image_id"])
-            yield {
-                "images": images,
-                "hw": hw,
-                "scales": scales,
-                "image_ids": ids,
-                "num_valid": len(chunk),
-            }
+        ch, cw = canvas
+        images = np.zeros((self.batch_size, ch, cw, 3), np.float32)
+        hw = np.zeros((self.batch_size, 2), np.float32)
+        scales = np.ones((self.batch_size,), np.float32)
+        ids = []
+        for i, d in enumerate(chunk):
+            img = self._image_loader(d["file_name"])
+            h, w = img.shape[:2]
+            scale = self.min_size / min(h, w)
+            if max(h, w) * scale > self.max_size:
+                scale = self.max_size / max(h, w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            if nh > ch or nw > cw:
+                s2 = min(ch / nh, cw / nw)
+                nh, nw = int(nh * s2), int(nw * s2)
+                scale = scale * s2
+            resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            images[i, :nh, :nw] = resized.astype(np.float32)
+            hw[i] = (nh, nw)
+            scales[i] = scale
+            ids.append(d["image_id"])
+        return {
+            "images": images,
+            "hw": hw,
+            "scales": scales,
+            "image_ids": ids,
+            "num_valid": len(chunk),
+        }
+
+    def __iter__(self):
+        for orient, dicts in self._groups.items():
+            canvas = self.canvas[orient]
+            for start in range(0, len(dicts), self.batch_size):
+                yield self._emit(dicts[start : start + self.batch_size], canvas)
