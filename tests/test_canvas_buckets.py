@@ -117,3 +117,67 @@ def test_eval_loader_groups_by_orientation():
     for i in range(3, 5):
         assert seen[i][0] == (96, 64)
         assert seen[i][1] == (72.0, 48.0)
+
+
+def test_input_crop_weak_augment():
+    """INPUT.CROP: D2 RandomCrop before resize (dataset_mapper.py:38-44) —
+    boxes shift/clip to the crop, empties dropped."""
+    from ubteacher_tpu.data.augment import random_crop_params
+
+    rng = np.random.default_rng(3)
+    # deterministic: "relative" crop of exactly half the image
+    y0, x0, ch_, cw_ = random_crop_params(100, 200, "relative", (0.5, 0.5), rng)
+    assert (ch_, cw_) == (50, 100)
+    assert 0 <= y0 <= 50 and 0 <= x0 <= 100
+
+    img = np.zeros((100, 200, 3), np.uint8)
+    boxes = np.asarray(
+        [[0, 0, 200, 100],      # full image: survives any crop
+         [0, 0, 3, 3]],         # top-left corner: dropped unless crop hits it
+        np.float32,
+    )
+    rng2 = np.random.default_rng(0)
+    rec = apply_weak_augment(
+        img, boxes, (128, 256), (50,), 256, "choice", rng2, flip=False,
+        crop=("absolute", (50, 100)),
+    )
+    assert rec["keep"][0]
+    # box 0 clipped to the crop then resized to shortest-edge 50
+    assert rec["hw"][0] == 50 and rec["hw"][1] == 100
+    b0 = rec["boxes"][0]
+    np.testing.assert_allclose([b0[0], b0[1]], [0, 0], atol=1e-5)
+    np.testing.assert_allclose([b0[2], b0[3]], [100, 50], atol=1e-5)
+
+
+def test_loader_drops_cropped_out_boxes():
+    cfg = _cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING = "choice"
+    cfg.INPUT.CROP.ENABLED = True
+    cfg.INPUT.CROP.TYPE = "relative"
+    cfg.INPUT.CROP.SIZE = [0.5, 0.5]
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (60, 90, 3), dtype=np.uint8)
+    dicts = [
+        {"file_name": f"f{i}", "height": 60, "width": 90,
+         "annotations": [
+             {"bbox": [0, 0, 90, 60], "category_id": 0},   # always survives
+             {"bbox": [0, 0, 2, 2], "category_id": 1},     # usually cropped out
+         ]}
+        for i in range(4)
+    ]
+    dl = TwoStreamDataLoader(
+        cfg, dicts, dicts, seed=0, image_loader=lambda name: img
+    )
+    batch = next(iter(dl))
+    # every image keeps >= 1 gt (the full-image box) and masks are coherent
+    assert (batch["gt_label"].mask.sum(axis=1) >= 1).all()
+    n = batch["gt_label"].mask.sum()
+    # boxes lie within each image's true extent
+    hw = batch["label_hw"]
+    for b in range(len(hw)):
+        m = batch["gt_label"].mask[b]
+        bx = batch["gt_label"].boxes[b][m]
+        assert (bx[:, 2] <= hw[b][1] + 1e-3).all()
+        assert (bx[:, 3] <= hw[b][0] + 1e-3).all()

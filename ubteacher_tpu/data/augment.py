@@ -54,6 +54,32 @@ def resize_shortest_edge_params(
     return new_h, new_w
 
 
+def random_crop_params(
+    h: int, w: int, crop_type: str, crop_size, rng: np.random.Generator
+) -> Tuple[int, int, int, int]:
+    """(y0, x0, crop_h, crop_w) per D2 RandomCrop.get_crop_size semantics
+    (reference inserts T.RandomCrop before resize when INPUT.CROP.ENABLED,
+    dataset_mapper.py:38-44)."""
+    if crop_type == "relative":
+        ch, cw = crop_size
+        crop_h, crop_w = int(h * ch + 0.5), int(w * cw + 0.5)
+    elif crop_type == "relative_range":
+        sz = np.asarray(crop_size, np.float32)
+        ch, cw = sz + rng.random(2).astype(np.float32) * (1.0 - sz)
+        crop_h, crop_w = int(h * ch + 0.5), int(w * cw + 0.5)
+    elif crop_type == "absolute":
+        crop_h, crop_w = min(int(crop_size[0]), h), min(int(crop_size[1]), w)
+    elif crop_type == "absolute_range":
+        assert crop_size[0] <= crop_size[1]
+        crop_h = int(rng.integers(min(h, int(crop_size[0])), min(h, int(crop_size[1])) + 1))
+        crop_w = int(rng.integers(min(w, int(crop_size[0])), min(w, int(crop_size[1])) + 1))
+    else:
+        raise NotImplementedError(f"Unknown crop type {crop_type}")
+    y0 = int(rng.integers(h - crop_h + 1))
+    x0 = int(rng.integers(w - crop_w + 1))
+    return y0, x0, crop_h, crop_w
+
+
 def apply_weak_augment(
     image: np.ndarray,  # (H, W, 3) uint8, BGR
     boxes: np.ndarray,  # (M, 4) xyxy
@@ -63,6 +89,7 @@ def apply_weak_augment(
     sampling: str,
     rng: np.random.Generator,
     flip: bool = True,
+    crop=None,  # (crop_type, crop_size) to enable INPUT.CROP
 ) -> Dict[str, np.ndarray]:
     """Resize jitter + hflip + fit-to-canvas + pad. Returns the padded float32
     image, transformed boxes, the true (h, w) inside the canvas, and the
@@ -73,10 +100,27 @@ def apply_weak_augment(
     MIN_SIZE_TRAIN jitter range survives on fixed shapes (one XLA program
     per bucket) instead of being clipped to a single canvas; only images
     exceeding every bucket are downscaled to the largest.
+
+    `crop=(type, size)` applies D2 RandomCrop BEFORE the resize (reference:
+    dataset_mapper.py:38-44); boxes are shifted and clipped to the crop,
+    and the returned `keep` marks boxes that survive with positive extent
+    (D2 filter_empty_instances).
     """
     import cv2
 
     h, w = image.shape[:2]
+    keep = np.ones((len(boxes),), bool)
+    if crop is not None:
+        y0, x0, crop_h, crop_w = random_crop_params(h, w, crop[0], crop[1], rng)
+        image = image[y0 : y0 + crop_h, x0 : x0 + crop_w]
+        h, w = crop_h, crop_w
+        if len(boxes):
+            boxes = boxes.astype(np.float32).copy()
+            boxes[:, [0, 2]] = (boxes[:, [0, 2]] - x0).clip(0, crop_w)
+            boxes[:, [1, 3]] = (boxes[:, [1, 3]] - y0).clip(0, crop_h)
+            keep = (boxes[:, 2] - boxes[:, 0] > 1e-5) & (
+                boxes[:, 3] - boxes[:, 1] > 1e-5
+            )
     new_h, new_w = resize_shortest_edge_params(h, w, min_size, max_size, sampling, rng)
     if isinstance(canvas_hw[0], (tuple, list)):
         candidates = sorted(canvas_hw, key=lambda c: c[0] * c[1])
@@ -112,6 +156,7 @@ def apply_weak_augment(
         "boxes": out_boxes,
         "hw": np.asarray([new_h, new_w], np.float32),
         "canvas": (ch, cw),
+        "keep": keep,
     }
 
 

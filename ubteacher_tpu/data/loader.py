@@ -95,6 +95,11 @@ class TwoStreamDataLoader:
         self.min_size = cfg.INPUT.MIN_SIZE_TRAIN
         self.max_size = cfg.INPUT.MAX_SIZE_TRAIN
         self.sampling = cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING
+        # INPUT.CROP weak augmentation (reference: dataset_mapper.py:38-44)
+        self.crop = (
+            (cfg.INPUT.CROP.TYPE, tuple(cfg.INPUT.CROP.SIZE))
+            if cfg.INPUT.CROP.ENABLED else None
+        )
         self.seed = seed
         self.num_threads = cfg.TPU.DATA_THREADS
         self._image_loader = image_loader or self._default_loader
@@ -119,11 +124,12 @@ class TwoStreamDataLoader:
         ).reshape(-1, 4)
         rec = apply_weak_augment(
             img, boxes, self.canvases[orient], self.min_size, self.max_size,
-            self.sampling, rng,
+            self.sampling, rng, crop=self.crop,
         )
         objs = [
             {"bbox": rec["boxes"][i], "category_id": o["category_id"]}
             for i, o in enumerate(d["annotations"])
+            if rec["keep"][i]
         ]
         gt = _pad_gt(objs, self.max_gt)
         return {
