@@ -264,7 +264,7 @@ def _fwd_call(feats, wy, wx, bidx, lvl, y0, x0, *, window, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlev
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nlev
         + [
             pl.BlockSpec(
                 (1, p, win_h), lambda i, *_: (i, 0, 0),
@@ -371,7 +371,7 @@ def _bwd_call(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlev
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nlev
         + [
             pl.BlockSpec(
                 (1, p, win_h), lambda i, *_: (i, 0, 0),
@@ -385,7 +385,7 @@ def _bwd_call(
                 (1, pp, c), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlev,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nlev,
         scratch_shapes=[
             pltpu.VMEM((win_h, win_w, c), dtype),
             pltpu.SemaphoreType.DMA(()),
