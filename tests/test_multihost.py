@@ -90,36 +90,46 @@ def test_two_process_train(tmp_path):
         ),
     ] + opts
 
-    port = _free_port()
     repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
     script = _DRIVER.format(repo=repo, argv=argv)
 
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env.update({
-            "COCO_ROOT": str(root),
-            "UBT_MULTIHOST": "1",
-            "UBT_COORDINATOR": f"localhost:{port}",
-            "UBT_NUM_PROCESSES": "2",
-            "UBT_PROCESS_ID": str(pid),
-            "JAX_PLATFORMS": "cpu",
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", script],
-            env=env, cwd=repo,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        ))
+    def launch():
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update({
+                "COCO_ROOT": str(root),
+                "UBT_MULTIHOST": "1",
+                "UBT_COORDINATOR": f"localhost:{port}",
+                "UBT_NUM_PROCESSES": "2",
+                "UBT_PROCESS_ID": str(pid),
+                "JAX_PLATFORMS": "cpu",
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", script],
+                env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=1500)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append((p.returncode, out, err))
+        return outs
 
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=1500)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
+    outs = launch()
+    if any(rc != 0 for rc, _, _ in outs) and any(
+        "Gloo context initialization failed" in err for _, _, err in outs
+    ):
+        # Gloo's peer-address KV lookup has a fixed ~30s window; under heavy
+        # host load the two processes' compile times can skew past it. This
+        # is an environmental startup race, not a framework bug — retry once.
+        outs = launch()
 
     for rc, out, err in outs:
         assert rc == 0, f"rc={rc}\nstdout:{out[-2000:]}\nstderr:{err[-4000:]}"
