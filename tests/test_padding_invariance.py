@@ -211,7 +211,9 @@ def test_rpn_proposals_exclude_padding_anchors():
     logits = jnp.asarray(rng.normal(0, 1, size=(1, A)), jnp.float32)
     # make the padding anchors the best-scoring ones
     logits = jnp.where(valid[None, :], logits, 10.0)
-    deltas = jnp.zeros((1, A, 4), jnp.float32)
+    # (B, L, A_cell): one cell anchor per location in this fixture
+    logits = logits[..., None]
+    deltas = jnp.zeros((1, A, 1, 4), jnp.float32)
     b2b = Box2BoxTransform((1.0, 1.0, 1.0, 1.0))
 
     boxes, scores, mask = find_top_proposals(

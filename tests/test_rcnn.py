@@ -260,8 +260,8 @@ def test_label_anchors_sample_first():
 
     # losses over the sampled rows only; gradients well-defined
     b2b = Box2BoxTransform((1.0, 1.0, 1.0, 1.0))
-    logits = jnp.zeros((1, 40))
-    deltas = jnp.zeros((1, 40, 4))
+    logits = jnp.zeros((1, 40, 1))  # (B, L, A_cell=1)
+    deltas = jnp.zeros((1, 40, 1, 4))
     batched = jax.tree.map(lambda x: x[None], s)
     out = rpn_losses(anchors, logits, deltas, batched, b2b, 8)
     # perfect-match positive at zero deltas -> zero loc loss

@@ -224,14 +224,14 @@ def test_rcnn_heads_match_torch_interpreter():
         t = F.relu(_conv(x, sd, rp + "conv", 1, 1))
         t_logits = _conv(t, sd, rp + "objectness_logits")
         t_deltas = _conv(t, sd, rp + "anchor_deltas")
-    # our layout: (B, H*W*A); torch: (B, A, H, W) -> grid-major, A inner
+    # our layout: (B, H*W, A) / (B, H*W, A, 4); torch: (B, A, H, W)
     b, a, h, w = t_logits.shape
-    t_logits_flat = t_logits.permute(0, 2, 3, 1).reshape(b, -1)
+    t_logits_flat = t_logits.permute(0, 2, 3, 1).reshape(b, -1, a)
     np.testing.assert_allclose(
         logits[0], t_logits_flat.numpy(), rtol=1e-4, atol=1e-4
     )
     t_deltas_flat = (
-        t_deltas.reshape(b, a, 4, h, w).permute(0, 3, 4, 1, 2).reshape(b, -1, 4)
+        t_deltas.reshape(b, a, 4, h, w).permute(0, 3, 4, 1, 2).reshape(b, -1, a, 4)
     )
     np.testing.assert_allclose(
         deltas[0], t_deltas_flat.numpy(), rtol=1e-4, atol=1e-4

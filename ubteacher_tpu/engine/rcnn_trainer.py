@@ -187,6 +187,91 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
             "loss_box_reg": loss_box,
         }
 
+    def _fused_branches(params, images, gt, rng, hw, nl: int):
+        """Supervised + pseudo branches over ONE fused forward of
+        nl labeled-view images followed by (B - nl) unlabeled images.
+        Branch-specific losses reduce over row slices; every loss already
+        normalizes by its own branch's valid count, so the split calls
+        match two separate _supervised_branch invocations exactly."""
+        pyramid, logits, deltas, anch, pboxes, pscores, pmask = _proposals(
+            params, images, train=True, hw=hw
+        )
+        k_anchor, k_sample = jax.random.split(rng)
+        b = images.shape[0]
+        anchor_keys = jax.random.split(k_anchor, b)
+        labeled = jax.vmap(
+            lambda g, k, one_hw: label_anchors(
+                anch["anchors"], g, rpn_cfg.BATCH_SIZE_PER_IMAGE,
+                rpn_cfg.POSITIVE_FRACTION, k, True,
+                anchor_valid=anchor_validity(anch["cell_origins"], one_hw),
+            )
+        )(gt, anchor_keys, hw)
+
+        def rpn_part(sl):
+            return rpn_losses(
+                anch["anchors"], logits[sl], deltas[sl],
+                jax.tree.map(lambda x: x[sl], labeled),
+                rpn_box2box, rpn_cfg.BATCH_SIZE_PER_IMAGE,
+                rpn_cfg.SMOOTH_L1_BETA,
+            )
+
+        sup_sl, un_sl = slice(0, nl), slice(nl, None)
+        rpn_sup = rpn_part(sup_sl)
+        rpn_unsup = rpn_part(un_sl)
+
+        sampled = sample_proposals_batch(
+            pboxes, pmask, gt, roi_cfg.BATCH_SIZE_PER_IMAGE,
+            roi_cfg.POSITIVE_FRACTION, num_classes, k_sample,
+            append_gt=roi_cfg.PROPOSAL_APPEND_GT,
+        )
+        scores, bdeltas, bstd = model.apply(
+            {"params": params}, pyramid, sampled["boxes"],
+            method=model.roi_box,
+        )
+
+        def flat(x, sl):
+            y = x[sl]
+            return y.reshape((-1,) + y.shape[2:])
+
+        if roi_cfg.LOSS.startswith("FocalLoss"):
+            cls_fn = focal_ce_loss
+        else:
+            cls_fn = cross_entropy_loss
+
+        sup = dict(rpn_sup)
+        sup["loss_cls"] = cls_fn(
+            flat(scores, sup_sl), flat(sampled["gt_classes"], sup_sl),
+            flat(sampled["valid"], sup_sl),
+        )
+        if cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE == "nlloss":
+            sup["loss_box_reg"] = box_reg_loss_nll(
+                flat(sampled["boxes"], sup_sl), flat(sampled["gt_boxes"], sup_sl),
+                flat(bdeltas, sup_sl), flat(bstd, sup_sl),
+                flat(sampled["is_fg"], sup_sl), flat(sampled["valid"], sup_sl),
+                roi_box2box, cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+            )
+        else:
+            sup["loss_box_reg"] = box_reg_loss_smooth_l1(
+                flat(sampled["boxes"], sup_sl), flat(sampled["gt_boxes"], sup_sl),
+                flat(bdeltas, sup_sl), flat(sampled["is_fg"], sup_sl),
+                flat(sampled["valid"], sup_sl), roi_box2box,
+                cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+            )
+
+        unsup = dict(rpn_unsup)
+        unsup["loss_cls"] = cls_fn(
+            flat(scores, un_sl), flat(sampled["gt_classes"], un_sl),
+            flat(sampled["valid"], un_sl),
+        )
+        unsup["loss_box_reg"] = box_reg_pseudo_loss_tsbetter(
+            flat(sampled["boxes"], un_sl), flat(sampled["gt_boxes"], un_sl),
+            flat(bdeltas, un_sl), flat(bstd, un_sl),
+            flat(sampled["gt_loc_std"], un_sl), flat(sampled["is_fg"], un_sl),
+            flat(sampled["valid"], un_sl), roi_box2box,
+            sem.TS_BETTER, sem.T_CERT,
+        )
+        return sup, unsup
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def burnin_step(state: RCNNTrainState, batch: Dict[str, Any]):
         k_aug, k_branch = jax.random.split(batch["rng"])
@@ -249,17 +334,34 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
 
         def loss_fn(params):
             params = stop_frozen_gradients(params, cfg.MODEL.BACKBONE.FREEZE_AT)
+            # ONE fused forward over labeled strong+weak AND unlabeled
+            # strong (single conv dispatch per layer at batch 3B, like the
+            # FCOS step); branch-specific losses reduce over row slices.
+            # use_confidence=True is branch-uniform: labeled gt ships
+            # scores == 1, so the confidence weight is identity there.
             images_l = jnp.concatenate([label_q, batch["images_label_k"]], 0)
             gt2 = jax.tree.map(
                 lambda x: jnp.concatenate([x, x], 0), batch["gt_label"]
             )
-            sup = _supervised_branch(
-                params, images_l, gt2, k_sup, use_confidence=False,
-                pseudo=False, hw=jnp.concatenate([label_hw, label_hw], 0),
-            )
-            unsup = _supervised_branch(
-                params, unl_q, pseudo, k_unsup, use_confidence=True,
-                pseudo=True, hw=unlabel_hw,
+            nl = images_l.shape[0]
+            images_all = jnp.concatenate([images_l, unl_q], 0)
+            hw_all = jnp.concatenate([label_hw, label_hw, unlabel_hw], 0)
+            # MAX_GT and MAX_PSEUDO capacities may differ: pad axis 1
+            m_cap = max(gt2.boxes.shape[1], pseudo.boxes.shape[1])
+
+            def cat_gt(a, b):
+                def fit(x):
+                    if x.shape[1] == m_cap:
+                        return x
+                    pad = [(0, 0)] * x.ndim
+                    pad[1] = (0, m_cap - x.shape[1])
+                    return jnp.pad(x, pad)
+
+                return jnp.concatenate([fit(a), fit(b)], 0)
+
+            gt_all = jax.tree.map(cat_gt, gt2, pseudo)
+            sup, unsup = _fused_branches(
+                params, images_all, gt_all, k_sup, hw_all, nl
             )
             weighted = {}
             for k, v in sup.items():

@@ -54,11 +54,19 @@ class RPNHead(nn.Module):
         for f in features:
             t = nn.relu(conv(f))
             b = f.shape[0]
-            # (B, H, W, A) -> (B, H*W*A); matches anchor order (grid-major,
-            # then cell anchor)
-            logits.append(obj(t).astype(jnp.float32).reshape(b, -1))
+            # (B, H, W, A) -> (B, H*W, A) and (B, H, W, A*4) -> (B, H*W, A, 4):
+            # ONLY major dims are merged, the tiny cell-anchor dim stays
+            # minor. Flattening A into the row dim would be a lane->sublane
+            # relayout of a 3-channel (lane-padded 43x) buffer — profiled as
+            # ~27 ms/step of pure layout copies at 768x1344 batch 4+4.
+            # Anchor order stays grid-major with cell anchor innermost.
+            logits.append(
+                obj(t).astype(jnp.float32).reshape(b, -1, self.num_anchors)
+            )
             out_deltas.append(
-                deltas(t).astype(jnp.float32).reshape(b, -1, 4)
+                deltas(t).astype(jnp.float32).reshape(
+                    b, -1, self.num_anchors, 4
+                )
             )
         return logits, out_deltas
 
@@ -142,9 +150,9 @@ def label_anchors(
 
 
 def rpn_losses(
-    anchors: jnp.ndarray,              # (A, 4)
-    pred_logits: jnp.ndarray,          # (B, A)
-    pred_deltas: jnp.ndarray,          # (B, A, 4)
+    anchors: jnp.ndarray,              # (A_total, 4)
+    pred_logits: jnp.ndarray,          # (B, L, A_cell)
+    pred_deltas: jnp.ndarray,          # (B, L, A_cell, 4)
     sampled: Dict[str, jnp.ndarray],   # batched label_anchors output (B, K, ...)
     box2box: Box2BoxTransform,
     batch_size_per_image: int,
@@ -152,14 +160,26 @@ def rpn_losses(
 ) -> Dict[str, jnp.ndarray]:
     """Reference: rpn.py:153-225 (sum BCE + smooth-l1 over sampled anchors,
     normalized by batch_size_per_image * num_images). Predictions are
-    gathered at the K sampled anchors; nothing full-(A,)-width is formed."""
+    gathered at the K sampled anchors — row gather + one-hot lane select,
+    so the (L, A_cell) layout never flattens (see RPNHead)."""
     num_images = pred_logits.shape[0]
-    idx = sampled["idx"]                                       # (B, K)
+    idx = sampled["idx"]                                       # (B, K) flat
     pos = (sampled["labels"] == 1) & sampled["ok"]
     valid = sampled["ok"]
 
-    logits_s = jnp.take_along_axis(pred_logits, idx, axis=1)   # (B, K)
-    deltas_s = jnp.take_along_axis(pred_deltas, idx[..., None], axis=1)
+    a_cell = pred_logits.shape[-1]
+    rows = idx // a_cell                                       # (B, K)
+    lane_onehot = jax.nn.one_hot(
+        idx % a_cell, a_cell, dtype=pred_logits.dtype
+    )                                                          # (B, K, A)
+    logits_rows = jnp.take_along_axis(
+        pred_logits, rows[..., None], axis=1
+    )                                                          # (B, K, A)
+    logits_s = (logits_rows * lane_onehot).sum(-1)             # (B, K)
+    deltas_rows = jnp.take_along_axis(
+        pred_deltas, rows[..., None, None], axis=1
+    )                                                          # (B, K, A, 4)
+    deltas_s = (deltas_rows * lane_onehot[..., None]).sum(-2)  # (B, K, 4)
     anchors_s = anchors[idx]                                   # (B, K, 4)
 
     target_deltas = box2box.get_deltas(anchors_s, sampled["boxes"])
@@ -178,48 +198,69 @@ def rpn_losses(
 
 
 def find_top_proposals(
-    anchors: jnp.ndarray,              # (A, 4)
-    level_lengths: Sequence[int],
-    level_ids: jnp.ndarray,            # (A,)
-    pred_logits: jnp.ndarray,          # (B, A)
-    pred_deltas: jnp.ndarray,          # (B, A, 4)
+    anchors: jnp.ndarray,              # (A_total, 4)
+    level_lengths: Sequence[int],      # anchors per level (loc * A_cell)
+    level_ids: jnp.ndarray,            # (A_total,)
+    pred_logits: jnp.ndarray,          # (B, L, A_cell)
+    pred_deltas: jnp.ndarray,          # (B, L, A_cell, 4)
     image_hw: jnp.ndarray,             # (B, 2)
     box2box: Box2BoxTransform,
     pre_nms_topk: int,
     post_nms_topk: int,
     nms_thresh: float,
     total_candidates: int = 2000,
-    cell_origins: jnp.ndarray | None = None,  # (A, 2)
+    cell_origins: jnp.ndarray | None = None,  # (A_total, 2)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """D2 find_top_rpn_proposals, fixed shape: per-level top-k by
     objectness, decode, clip, global candidate cap (bounds the O(K^2) NMS
     IoU matrix), level-wise NMS (level id as NMS class), global post-NMS
     top-k. When cell_origins is given, anchors beyond each image's true
     extent are excluded (see anchor_validity). Returns (boxes (B,P,4),
-    scores (B,P), mask)."""
+    scores (B,P), mask).
+
+    Logits/deltas keep the cell-anchor dim minor (see RPNHead). The
+    per-level top-k is two-stage and exact: any anchor in a level's top-k
+    implies its LOCATION is in the top-k locations by per-location max, so
+    `top-k locations -> top-k anchors` selects the same set while all
+    full-width ops stay in the (L, A_cell) layout (no lane relayouts)."""
 
     global_cap = max(total_candidates, post_nms_topk)
+    a_cell = pred_logits.shape[-1]
+    # anchors at one location share a feature-map cell
+    loc_origins = None if cell_origins is None else cell_origins[::a_cell]
 
     def per_image(logits, deltas, hw):
-        if cell_origins is not None:
-            logits = jnp.where(
-                anchor_validity(cell_origins, hw), logits, -jnp.inf
-            )
+        if loc_origins is not None:
+            loc_valid = anchor_validity(loc_origins, hw)  # (L,)
+            logits = jnp.where(loc_valid[:, None], logits, -jnp.inf)
         sel_scores, sel_boxes, sel_lvls = [], [], []
-        offset = 0
+        loc_offset = 0
         for lvl, ln in enumerate(level_lengths):
+            nloc = ln // a_cell
             # candidates beyond the global cap can never survive the
             # cross-level top-k below, so a per-level k larger than the cap
             # (D2's 12000) only wastes sort time — same selected set
             k = min(pre_nms_topk, global_cap, ln)
-            lvl_scores = jax.lax.dynamic_slice_in_dim(logits, offset, ln)
-            top, idx = jax.lax.top_k(lvl_scores, k)
-            idx = idx + offset
-            boxes = box2box.apply_deltas(deltas[idx], anchors[idx])
+            lvl_scores = jax.lax.dynamic_slice_in_dim(
+                logits, loc_offset, nloc
+            )                                              # (nloc, A)
+            k_loc = min(k, nloc)
+            loc_best = lvl_scores.max(-1)                  # (nloc,)
+            _, loc_sel = jax.lax.top_k(loc_best, k_loc)    # (k_loc,)
+            flat = lvl_scores[loc_sel].reshape(-1)         # (k_loc*A,) small
+            top, idx = jax.lax.top_k(flat, k)
+            # global flat anchor index (grid-major, cell-anchor inner)
+            aidx = (loc_sel[idx // a_cell] + loc_offset) * a_cell + (
+                idx % a_cell
+            )
+            lvl_deltas = jax.lax.dynamic_slice_in_dim(
+                deltas, loc_offset, nloc
+            )[loc_sel].reshape(-1, 4)[idx]                 # (k, 4)
+            boxes = box2box.apply_deltas(lvl_deltas, anchors[aidx])
             sel_scores.append(top)
             sel_boxes.append(boxes)
             sel_lvls.append(jnp.full((k,), lvl, jnp.int32))
-            offset += ln
+            loc_offset += nloc
         scores = jnp.concatenate(sel_scores)
         boxes = jnp.concatenate(sel_boxes)
         lvls = jnp.concatenate(sel_lvls)
