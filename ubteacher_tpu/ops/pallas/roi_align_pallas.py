@@ -75,6 +75,19 @@ def _win_wh(window) -> Tuple[int, int]:
     return win_h, win_w
 
 
+def _size_classes(win_h: int, win_w: int) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Static DMA size classes per axis. The bilinear support of a roi is
+    span+2 pixels — usually far below the full window (D2 level assignment
+    puts base spans in [14, 28)); moving only the rows/cols that can be
+    nonzero cuts the HBM traffic of the window DMAs ~2x (and much more for
+    small rois) at identical math: weights outside the support are exactly
+    zero. Col classes are multiples of 8 (W is the sublane dim in the HBM
+    (B, H, W, C) layout)."""
+    rows = tuple(c for c in (16, 32) if c < win_h) + (win_h,)
+    cols = tuple(c for c in (24, 40) if c < win_w) + (win_w,)
+    return rows, cols
+
+
 def _prep(
     boxes: jnp.ndarray,        # (B, R, 4) xyxy image pixels
     level_hw: Tuple[Tuple[int, int], ...],  # true (H, W) per level
@@ -83,9 +96,9 @@ def _prep(
     sampling_ratio: int,
     window,
 ):
-    """Per-roi level assignment, window origins and bin-collapsed bilinear
-    weights. Returns (bidx, lvl, y0, x0) int32 (N,) and wy, wx f32
-    (N, P, window)."""
+    """Per-roi level assignment, window origins, DMA size classes and
+    bin-collapsed bilinear weights. Returns (bidx, lvl, rcls, ccls, y0, x0)
+    int32 (N,) and wy, wx f32 (N, P, window)."""
     b, r, _ = boxes.shape
     n = b * r
     win_h, win_w = _win_wh(window)
@@ -130,6 +143,19 @@ def _prep(
     ww_ = jnp.arange(win_w, dtype=jnp.float32)
     wy = jnp.maximum(1.0 - jnp.abs(ys_loc[:, :, None] - hh), 0.0)  # (N,P*s,Wh)
     wx = jnp.maximum(1.0 - jnp.abs(xs_loc[:, :, None] - ww_), 0.0)
+
+    # DMA size class per roi: smallest class covering the bilinear support
+    # (last sample's floor + 1, i.e. floor+2 rows/cols from the origin)
+    row_cls, col_cls = _size_classes(win_h, win_w)
+    rows_needed = jnp.minimum(jnp.floor(ys_loc.max(axis=1)) + 2.0, float(win_h))
+    cols_needed = jnp.minimum(jnp.floor(xs_loc.max(axis=1)) + 2.0, float(win_w))
+    rcls = jnp.searchsorted(
+        jnp.asarray(row_cls, jnp.float32), rows_needed, side="left"
+    ).astype(jnp.int32)
+    ccls = jnp.searchsorted(
+        jnp.asarray(col_cls, jnp.float32), cols_needed, side="left"
+    ).astype(jnp.int32)
+
     # fold the s x s bin average into the weights
     wy = wy.reshape(n, p, s, win_h).mean(axis=2)   # (N, P, win_h)
     wx = wx.reshape(n, p, s, win_w).mean(axis=2)   # (N, P, win_w)
@@ -138,6 +164,8 @@ def _prep(
     return (
         bidx,
         lvl_idx.astype(jnp.int32),
+        rcls,
+        ccls,
         y0.astype(jnp.int32),
         x0.astype(jnp.int32),
         wy,
@@ -196,7 +224,7 @@ def _kron_in_kernel(wy2: jnp.ndarray, wx2: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fwd_kernel(
-    bidx, lvl, y0, x0,            # scalar prefetch (N,) int32
+    bidx, lvl, rcls, ccls, y0, x0,   # scalar prefetch (N,) int32
     *rest,
     nlev: int,
     window,
@@ -209,30 +237,38 @@ def _fwd_kernel(
     sem = rest[nlev + 4]
 
     win_h, win_w = _win_wh(window)
+    row_cls, col_cls = _size_classes(win_h, win_w)
     i = pl.program_id(0)
     nrois = pl.num_programs(0)
 
     def dma(slot, j, start):
         b, l, yy, xx = bidx[j], lvl[j], y0[j], x0[j]
+        rc, cc = rcls[j], ccls[j]
         xx = pl.multiple_of(xx, 8)
         for k in range(nlev):
-            copy = pltpu.make_async_copy(
-                frefs[k].at[b, pl.ds(yy, win_h), pl.ds(xx, win_w), :],
-                crop.at[slot],
-                sem.at[slot],
-            )
+            for ri, rsz in enumerate(row_cls):
+                for ci, csz in enumerate(col_cls):
+                    copy = pltpu.make_async_copy(
+                        frefs[k].at[b, pl.ds(yy, rsz), pl.ds(xx, csz), :],
+                        crop.at[slot, :rsz, :csz],
+                        sem.at[slot],
+                    )
 
-            @pl.when(l == k)
-            def _(copy=copy):
-                if start:
-                    copy.start()
-                else:
-                    copy.wait()
+                    @pl.when((l == k) & (rc == ri) & (cc == ci))
+                    def _(copy=copy):
+                        if start:
+                            copy.start()
+                        else:
+                            copy.wait()
 
     slot = jax.lax.rem(i, 2)
 
     @pl.when(i == 0)
     def _():
+        # the partial-window DMAs leave the rest of the crop scratch as-is;
+        # weights there are exactly zero, but uninitialized VMEM could hold
+        # NaN bit patterns (0 * NaN = NaN) — zero once
+        crop[...] = jnp.zeros_like(crop)
         dma(0, 0, start=True)
 
     @pl.when(i + 1 < nrois)
@@ -254,7 +290,8 @@ def _fwd_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _fwd_call(feats, wy, wx, bidx, lvl, y0, x0, *, window, interpret: bool):
+def _fwd_call(feats, wy, wx, bidx, lvl, rcls, ccls, y0, x0, *, window,
+              interpret: bool):
     nlev = len(feats)
     n, p, win_h = wy.shape
     win_w = wx.shape[2]
@@ -262,7 +299,7 @@ def _fwd_call(feats, wy, wx, bidx, lvl, y0, x0, *, window, interpret: bool):
     c = feats[0].shape[-1]
     dtype = feats[0].dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nlev
         + [
@@ -288,14 +325,14 @@ def _fwd_call(feats, wy, wx, bidx, lvl, y0, x0, *, window, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((n, pp, c), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bidx, lvl, y0, x0, *feats, wy, wx)
+    )(bidx, lvl, rcls, ccls, y0, x0, *feats, wy, wx)
 
 
 # ------------------------------------------------------------- bwd kernel
 
 
 def _bwd_kernel(
-    bidx, lvl, y0, x0,
+    bidx, lvl, rcls, ccls, y0, x0,
     *rest,
     nlev: int,
     window,
@@ -312,21 +349,47 @@ def _bwd_kernel(
     del zrefs
 
     win_h, win_w = _win_wh(window)
+    row_cls, col_cls = _size_classes(win_h, win_w)
     i = pl.program_id(0)
     b, l, yy, xx = bidx[i], lvl[i], y0[i], x0[i]
+    rc, cc = rcls[i], ccls[i]
     xx = pl.multiple_of(xx, 8)
 
-    def window_dma(k, to_vmem):
-        region = outs[k].at[b, pl.ds(yy, win_h), pl.ds(xx, win_w), :]
-        if to_vmem:
-            return pltpu.make_async_copy(region, acc, sem)
-        return pltpu.make_async_copy(acc, region, sem)
+    # predicated partial-window RMW: only the roi's size class moves.
+    # dcrop is exactly zero outside the class region (zero weights), so
+    # skipping the read/write there is exact; the skipped region of acc
+    # holds stale values that are never written back.
+    def rmw_start(to_vmem):
+        for k in range(nlev):
+            for ri, rsz in enumerate(row_cls):
+                for ci, csz in enumerate(col_cls):
+                    region = outs[k].at[b, pl.ds(yy, rsz), pl.ds(xx, csz), :]
+                    src, dst = (
+                        (region, acc.at[:rsz, :csz]) if to_vmem
+                        else (acc.at[:rsz, :csz], region)
+                    )
+                    copy = pltpu.make_async_copy(src, dst, sem)
 
-    # read current accumulation
-    for k in range(nlev):
-        @pl.when(l == k)
-        def _(k=k):
-            window_dma(k, to_vmem=True).start()
+                    @pl.when((l == k) & (rc == ri) & (cc == ci))
+                    def _(copy=copy):
+                        copy.start()
+
+    def rmw_wait(to_vmem):
+        for k in range(nlev):
+            for ri, rsz in enumerate(row_cls):
+                for ci, csz in enumerate(col_cls):
+                    region = outs[k].at[b, pl.ds(yy, rsz), pl.ds(xx, csz), :]
+                    src, dst = (
+                        (region, acc.at[:rsz, :csz]) if to_vmem
+                        else (acc.at[:rsz, :csz], region)
+                    )
+                    copy = pltpu.make_async_copy(src, dst, sem)
+
+                    @pl.when((l == k) & (rc == ri) & (cc == ci))
+                    def _(copy=copy):
+                        copy.wait()
+
+    rmw_start(to_vmem=True)
 
     # dcrop[(hw), c] = sum_pq W2t[(hw), (pq)] * g[(pq), c] — the fwd W2t
     # contracted on its SECOND dim: a plain matmul, no transposed copy
@@ -339,28 +402,19 @@ def _bwd_kernel(
     )                                                  # (W*W, C)
     c = dcrop.shape[-1]
 
-    for k in range(nlev):
-        @pl.when(l == k)
-        def _(k=k):
-            window_dma(k, to_vmem=True).wait()
+    rmw_wait(to_vmem=True)
 
     acc[...] = acc[...] + dcrop.reshape(win_h, win_w, c).astype(acc.dtype)
 
     # write back; must complete before the next roi (possibly overlapping
     # window) reads — grid steps are sequential, so waiting here suffices
-    for k in range(nlev):
-        @pl.when(l == k)
-        def _(k=k):
-            window_dma(k, to_vmem=False).start()
-
-    for k in range(nlev):
-        @pl.when(l == k)
-        def _(k=k):
-            window_dma(k, to_vmem=False).wait()
+    rmw_start(to_vmem=False)
+    rmw_wait(to_vmem=False)
 
 
 def _bwd_call(
-    zero_feats, wy, wx, g, bidx, lvl, y0, x0, *, window, interpret: bool
+    zero_feats, wy, wx, g, bidx, lvl, rcls, ccls, y0, x0, *, window,
+    interpret: bool,
 ):
     nlev = len(zero_feats)
     n, p, win_h = wy.shape
@@ -369,7 +423,7 @@ def _bwd_call(
     c = zero_feats[0].shape[-1]
     dtype = zero_feats[0].dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nlev
         + [
@@ -397,10 +451,10 @@ def _bwd_call(
             jax.ShapeDtypeStruct(f.shape, f.dtype) for f in zero_feats
         ],
         grid_spec=grid_spec,
-        # operand index space includes the 4 scalar-prefetch args
-        input_output_aliases={4 + k: k for k in range(nlev)},
+        # operand index space includes the 6 scalar-prefetch args
+        input_output_aliases={6 + k: k for k in range(nlev)},
         interpret=interpret,
-    )(bidx, lvl, y0, x0, *zero_feats, wy, wx, g)
+    )(bidx, lvl, rcls, ccls, y0, x0, *zero_feats, wy, wx, g)
 
 
 # ----------------------------------------------------------------- wrapper
@@ -451,12 +505,13 @@ def _mra_pallas(
 def _fwd(feats, boxes, levels, output_size, sampling_ratio, window, interpret):
     b, r, _ = boxes.shape
     level_hw = tuple((f.shape[1], f.shape[2]) for f in feats)
-    bidx, lvl, y0, x0, wy, wx = _prep(
+    bidx, lvl, rcls, ccls, y0, x0, wy, wx = _prep(
         boxes, level_hw, levels, output_size, sampling_ratio, window
     )
     padded = _pad_levels(feats, window)
     pooled = _fwd_call(
-        padded, wy, wx, bidx, lvl, y0, x0, window=window, interpret=interpret
+        padded, wy, wx, bidx, lvl, rcls, ccls, y0, x0,
+        window=window, interpret=interpret,
     )                                                   # (N, P*P, C)
     c = feats[0].shape[-1]
     out = pooled.reshape(b, r, output_size, output_size, c)
@@ -468,7 +523,7 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
     b, r, _ = boxes.shape
     c = feats[0].shape[-1]
     level_hw = tuple((f.shape[1], f.shape[2]) for f in feats)
-    bidx, lvl, y0, x0, wy, wx = _prep(
+    bidx, lvl, rcls, ccls, y0, x0, wy, wx = _prep(
         boxes, level_hw, levels, output_size, sampling_ratio, window
     )
     dtype = feats[0].dtype
@@ -481,7 +536,7 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
         for f in feats
     )
     dpadded = _bwd_call(
-        zero_padded, wy, wx, gf, bidx, lvl, y0, x0,
+        zero_padded, wy, wx, gf, bidx, lvl, rcls, ccls, y0, x0,
         window=window, interpret=interpret,
     )
     dfeats = tuple(
