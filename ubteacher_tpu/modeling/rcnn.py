@@ -31,6 +31,8 @@ class TwoStageRCNN(nn.Module):
     rpn_in_features: Sequence[str] = ("p2", "p3", "p4", "p5", "p6")
     roi_in_features: Sequence[str] = ("p2", "p3", "p4", "p5")
     pooler_resolution: int = 7
+    # 0 = D2-adaptive ROIAlignV2 grid (the reference's default POOLER_SAMPLING_RATIO)
+    pooler_sampling_ratio: int = 0
     pixel_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
 
@@ -57,7 +59,8 @@ class TwoStageRCNN(nn.Module):
         """boxes (B, R, 4) -> (scores (B,R,K+1), deltas (B,R,4),
         deltas_std (B,R,4))."""
         pooled = multilevel_roi_align(
-            pyramid, boxes, self.roi_in_features, self.pooler_resolution
+            pyramid, boxes, self.roi_in_features, self.pooler_resolution,
+            self.pooler_sampling_ratio,
         )
         x = self.box_head(pooled)
         return self.box_predictor(x)
@@ -96,6 +99,7 @@ def build_two_stage_rcnn(cfg) -> TwoStageRCNN:
         rpn_in_features=tuple(cfg.MODEL.RPN.IN_FEATURES),
         roi_in_features=tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES),
         pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
     )

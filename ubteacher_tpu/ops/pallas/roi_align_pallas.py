@@ -12,8 +12,9 @@ level is selected per roi inside the kernel (4 predicated DMA sources), so
 both sources of waste are gone.
 
 Math: bilinear interpolation along an axis is a sparse weight row
-w[p, h] = relu(1 - |y_p - h|); averaging the s x s samples per bin is
-linear, so it folds into the weights (wy_bin[p] = mean_i wy[p*s+i]). The
+w[p, h] = relu(1 - |y_p - h|); averaging the bin's sample grid is linear,
+so it folds into the weights (ops.roi_align.bin_axis_weights — including
+the D2-adaptive sampling_ratio=0 grid as masked coefficients). The
 whole pooled output for one roi is then ONE matmul:
     out[(p,q), c] = sum_{(h,w)} W2t[(h,w), (p,q)] * crop[(h,w), c]
 with W2t = kron(wy_bin, wx_bin), TRANSPOSED and built in VMEM inside the
@@ -45,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..roi_align import assign_levels
+from ..roi_align import assign_levels, bin_axis_weights, bin_sample_positions
 
 # ---------------------------------------------------------------- host prep
 
@@ -118,7 +119,7 @@ def _prep(
         [_round_up(max(hw[1], win_w), 8) for hw in level_hw], jnp.float32
     )[lvl_idx]
 
-    p, s = output_size, sampling_ratio
+    p = output_size
     # aligned=True sample coords on the assigned level
     x1 = flat[:, 0] * scale - 0.5
     y1 = flat[:, 1] * scale - 0.5
@@ -126,29 +127,31 @@ def _prep(
     y2 = flat[:, 3] * scale - 0.5
     roi_w = jnp.maximum(x2 - x1, 1e-6)
     roi_h = jnp.maximum(y2 - y1, 1e-6)
-    frac = (jnp.arange(p * s, dtype=jnp.float32) + 0.5) / s    # bin units
-    ys = y1[:, None] + frac[None, :] * (roi_h / p)[:, None]    # (N, P*s)
-    xs = x1[:, None] + frac[None, :] * (roi_w / p)[:, None]
-    ys = jnp.clip(ys, 0.0, hs[:, None] - 1.0)   # clip to TRUE map extent so
-    xs = jnp.clip(xs, 0.0, ws[:, None] - 1.0)   # padding rows get weight 0
-    y0 = jnp.clip(jnp.floor(ys[:, 0]) - 1.0, 0.0, hp - win_h)
-    x0 = jnp.clip(jnp.floor(xs[:, 0]) - 1.0, 0.0, wp - win_w)
+    # sample positions + grid-average coefficients (N, P, S); adaptive
+    # grids (sampling_ratio=0, ROIAlignV2) are masked slots of a static S
+    ys, cy = bin_sample_positions(y1, roi_h, p, sampling_ratio)
+    xs, cx = bin_sample_positions(x1, roi_w, p, sampling_ratio)
+    ys = jnp.clip(ys, 0.0, hs[:, None, None] - 1.0)  # clip to TRUE map extent
+    xs = jnp.clip(xs, 0.0, ws[:, None, None] - 1.0)  # so padding gets weight 0
+    y0 = jnp.clip(jnp.floor(ys[:, 0, 0]) - 1.0, 0.0, hp - win_h)
+    x0 = jnp.clip(jnp.floor(xs[:, 0, 0]) - 1.0, 0.0, wp - win_w)
     # HBM (B, H, W, C) maps are sublane-tiled on W: DMA start must be
     # 8-aligned (clip bound already leaves room for the widened window)
     x0 = jnp.floor(x0 / 8.0) * 8.0
-    ys_loc = jnp.clip(ys - y0[:, None], 0.0, win_h - 1.0)
-    xs_loc = jnp.clip(xs - x0[:, None], 0.0, win_w - 1.0)
-
-    hh = jnp.arange(win_h, dtype=jnp.float32)
-    ww_ = jnp.arange(win_w, dtype=jnp.float32)
-    wy = jnp.maximum(1.0 - jnp.abs(ys_loc[:, :, None] - hh), 0.0)  # (N,P*s,Wh)
-    wx = jnp.maximum(1.0 - jnp.abs(xs_loc[:, :, None] - ww_), 0.0)
+    ys_loc = jnp.clip(ys - y0[:, None, None], 0.0, win_h - 1.0)
+    xs_loc = jnp.clip(xs - x0[:, None, None], 0.0, win_w - 1.0)
 
     # DMA size class per roi: smallest class covering the bilinear support
-    # (last sample's floor + 1, i.e. floor+2 rows/cols from the origin)
+    # (last sample's floor + 1, i.e. floor+2 rows/cols from the origin;
+    # inactive sample slots alias the bin's first sample, so the max is the
+    # max over active samples)
     row_cls, col_cls = _size_classes(win_h, win_w)
-    rows_needed = jnp.minimum(jnp.floor(ys_loc.max(axis=1)) + 2.0, float(win_h))
-    cols_needed = jnp.minimum(jnp.floor(xs_loc.max(axis=1)) + 2.0, float(win_w))
+    rows_needed = jnp.minimum(
+        jnp.floor(ys_loc.max(axis=(1, 2))) + 2.0, float(win_h)
+    )
+    cols_needed = jnp.minimum(
+        jnp.floor(xs_loc.max(axis=(1, 2))) + 2.0, float(win_w)
+    )
     rcls = jnp.searchsorted(
         jnp.asarray(row_cls, jnp.float32), rows_needed, side="left"
     ).astype(jnp.int32)
@@ -156,9 +159,9 @@ def _prep(
         jnp.asarray(col_cls, jnp.float32), cols_needed, side="left"
     ).astype(jnp.int32)
 
-    # fold the s x s bin average into the weights
-    wy = wy.reshape(n, p, s, win_h).mean(axis=2)   # (N, P, win_h)
-    wx = wx.reshape(n, p, s, win_w).mean(axis=2)   # (N, P, win_w)
+    # bin-collapsed weights (grid average folded in)
+    wy = bin_axis_weights(ys_loc, cy, win_h)       # (N, P, win_h)
+    wx = bin_axis_weights(xs_loc, cx, win_w)       # (N, P, win_w)
 
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
     return (

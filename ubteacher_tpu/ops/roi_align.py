@@ -1,12 +1,14 @@
-"""ROIAlign + multi-level FPN assignment, pure jnp (Pallas kernel to come).
+"""ROIAlign + multi-level FPN assignment, pure jnp (XLA fallback paths).
 
 TPU-native equivalent of detectron2's C++/CUDA ROIAlign(V2) consumed via
 ROIPooler (reference: roi_heads/roi_heads.py:40-45, 118; SURVEY.md §2b).
 Semantics follow ROIAlignV2: aligned=True (half-pixel offset), bilinear
-sampling, average over a sampling grid per bin. Deviation: D2's
-sampling_ratio=0 adapts the grid to the roi size (dynamic); we use a fixed
-sampling grid (default 2x2 per bin) to keep shapes static — numerically
-within noise for training from scratch.
+sampling, average over a sampling grid per bin. sampling_ratio=0 is the
+D2-adaptive grid (ceil(roi_extent / output_size) samples per bin per
+axis) realized fixed-shape: ADAPTIVE_MAX_S sample slots with per-roi
+masked averaging coefficients — exact for grids up to ADAPTIVE_MAX_S
+(every roi whose span fits the Pallas kernel window; larger rois clamp,
+the same documented deviation as the window clamp).
 
 Multi-level assignment computes the pooled output on EVERY level and
 one-hot-combines per roi (4x arithmetic on a cheap op in exchange for zero
@@ -19,6 +21,52 @@ from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
+
+# cap for the adaptive (sampling_ratio=0) grid: ceil(span/P) <= 8 for every
+# span <= 56 feature px — the Pallas window's x capacity, so the cap never
+# binds where the kernel is exact
+ADAPTIVE_MAX_S = 8
+
+
+def bin_sample_positions(
+    start: jnp.ndarray,     # (N,) roi start on this level (aligned coords)
+    extent: jnp.ndarray,    # (N,) roi extent on this level
+    p: int,                 # output bins along this axis
+    sampling_ratio: int,    # >0 fixed grid; 0 = D2 adaptive
+):
+    """Per-roi per-bin sample positions and averaging coefficients along one
+    axis (ROIAlignV2 semantics). Returns pos (N, P, S) and coef (N, P, S)
+    with sum_s coef = 1 per bin; inactive slots (adaptive grids smaller
+    than S) carry the bin's first sample position and coef 0, so min/max
+    over all slots equal min/max over active samples."""
+    if sampling_ratio > 0:
+        max_s = sampling_ratio
+        s = jnp.full(start.shape, float(sampling_ratio), jnp.float32)
+    else:
+        max_s = ADAPTIVE_MAX_S
+        s = jnp.clip(jnp.ceil(extent / p), 1.0, float(max_s))
+    i = jnp.arange(max_s, dtype=jnp.float32)
+    bins = jnp.arange(p, dtype=jnp.float32)
+    off = (i[None, :] + 0.5) / s[:, None]                    # (N, S) bin units
+    frac = bins[None, :, None] + off[:, None, :]             # (N, P, S)
+    pos = start[:, None, None] + frac * (extent / p)[:, None, None]
+    m = jnp.broadcast_to(i[None, None, :] < s[:, None, None], pos.shape)
+    pos = jnp.where(m, pos, pos[:, :, :1])
+    coef = jnp.where(m, 1.0 / s[:, None, None], 0.0)
+    return pos, coef.astype(jnp.float32)
+
+
+def bin_axis_weights(
+    pos: jnp.ndarray,       # (N, P, S) clipped sample positions
+    coef: jnp.ndarray,      # (N, P, S)
+    length: int,            # feature rows along this axis
+) -> jnp.ndarray:
+    """(N, P, length) bin-averaged bilinear weights: the sparse
+    interpolation rows relu(1 - |pos - h|) with the grid average folded in.
+    Contracting features against these is the whole ROIAlign."""
+    grid = jnp.arange(length, dtype=jnp.float32)
+    w = jnp.maximum(1.0 - jnp.abs(pos[..., None] - grid), 0.0)  # (N,P,S,len)
+    return (w * coef[..., None]).sum(axis=2)
 
 
 def roi_align(
@@ -38,15 +86,9 @@ def roi_align(
     roi_w = jnp.maximum(x2 - x1, 1e-6)
     roi_h = jnp.maximum(y2 - y1, 1e-6)
 
-    bin_w = roi_w / output_size
-    bin_h = roi_h / output_size
-    s = sampling_ratio
-    # sample points: (R, output_size, s) along each axis
-    grid = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # (s,)
-    bins = jnp.arange(output_size, dtype=jnp.float32)    # (P,)
-    # y coords: y1 + (bin + frac) * bin_h  -> (R, P, s)
-    ys = y1[:, None, None] + (bins[None, :, None] + grid[None, None, :]) * bin_h[:, None, None]
-    xs = x1[:, None, None] + (bins[None, :, None] + grid[None, None, :]) * bin_w[:, None, None]
+    # sample points + averaging coefficients: (R, P, S) along each axis
+    ys, cy = bin_sample_positions(y1, roi_h, output_size, sampling_ratio)
+    xs, cx = bin_sample_positions(x1, roi_w, output_size, sampling_ratio)
 
     def bilinear(img, yy, xx):
         """img (H, W, C); yy/xx (...,) -> (..., C)."""
@@ -73,12 +115,13 @@ def roi_align(
             + v11 * (wy1 * wx1)[..., None]
         )
 
-    # full sample grid per roi: (R, P, s, P, s)
+    # full sample grid per roi: (R, P, S, P, S)
     yy = ys[:, :, :, None, None]
     xx = xs[:, None, None, :, :]
     yy, xx = jnp.broadcast_arrays(yy, xx)
-    vals = bilinear(features, yy, xx)  # (R, P, s, P, s, C)
-    return vals.mean(axis=(2, 4))      # (R, P, P, C)
+    vals = bilinear(features, yy, xx)  # (R, P, S, P, S, C)
+    w = cy[:, :, :, None, None] * cx[:, None, None, :, :]
+    return (vals * w[..., None]).sum(axis=(2, 4))  # (R, P, P, C)
 
 
 def assign_levels(
@@ -99,20 +142,17 @@ def assign_levels(
 
 
 def _sample_coords(boxes, spatial_scale, output_size, sampling_ratio):
-    """Per-roi bilinear sample coordinates along each axis.
-    Returns ys, xs: (R, P*s) in feature-map pixels (aligned=True)."""
+    """Per-roi bilinear sample coordinates + coefficients along each axis.
+    Returns ys, cy, xs, cx: (R, P, S) in feature-map pixels (aligned=True)."""
     x1 = boxes[:, 0] * spatial_scale - 0.5
     y1 = boxes[:, 1] * spatial_scale - 0.5
     x2 = boxes[:, 2] * spatial_scale - 0.5
     y2 = boxes[:, 3] * spatial_scale - 0.5
     roi_w = jnp.maximum(x2 - x1, 1e-6)
     roi_h = jnp.maximum(y2 - y1, 1e-6)
-    s = sampling_ratio
-    n = output_size * s
-    frac = (jnp.arange(n, dtype=jnp.float32) + 0.5) / s  # in bin units
-    ys = y1[:, None] + frac[None, :] * (roi_h / output_size)[:, None]
-    xs = x1[:, None] + frac[None, :] * (roi_w / output_size)[:, None]
-    return ys, xs
+    ys, cy = bin_sample_positions(y1, roi_h, output_size, sampling_ratio)
+    xs, cx = bin_sample_positions(x1, roi_w, output_size, sampling_ratio)
+    return ys, cy, xs, cx
 
 
 def roi_align_matmul(
@@ -134,29 +174,27 @@ def roi_align_matmul(
     """
     h, w, c = features.shape
     r = boxes.shape[0]
-    s = sampling_ratio
     p = output_size
-    ys, xs = _sample_coords(boxes, spatial_scale, output_size, s)
+    ys, cy, xs, cx = _sample_coords(boxes, spatial_scale, output_size,
+                                    sampling_ratio)
     ys = jnp.clip(ys, 0.0, h - 1.0)
     xs = jnp.clip(xs, 0.0, w - 1.0)
 
-    hh = jnp.arange(h, dtype=jnp.float32)
-    ww = jnp.arange(w, dtype=jnp.float32)
-    wy = jnp.maximum(1.0 - jnp.abs(ys[:, :, None] - hh[None, None, :]), 0.0)
-    wx = jnp.maximum(1.0 - jnp.abs(xs[:, :, None] - ww[None, None, :]), 0.0)
-    wy = wy.astype(features.dtype)
-    wx = wx.astype(features.dtype)
+    # bin-collapsed weights: the grid average folds into the rows, so the
+    # matmuls contract P rows per axis instead of P*s
+    wy = bin_axis_weights(ys, cy, h).astype(features.dtype)  # (R, P, H)
+    wx = bin_axis_weights(xs, cx, w).astype(features.dtype)  # (R, P, W)
 
     chunk = min(roi_chunk, r)
     pad = (-r) % chunk
     if pad:
         wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
         wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
-    wy = wy.reshape(-1, chunk, p * s, h)
-    wx = wx.reshape(-1, chunk, p * s, w)
+    wy = wy.reshape(-1, chunk, p, h)
+    wx = wx.reshape(-1, chunk, p, w)
 
     def do_chunk(args):
-        wy_c, wx_c = args  # (chunk, P*s, H), (chunk, P*s, W)
+        wy_c, wx_c = args  # (chunk, P, H), (chunk, P, W)
         # t1[r, p, w, c] = sum_h wy[r, p, h] F[h, w, c]
         t1 = jnp.einsum("kph,hwc->kpwc", wy_c, features,
                         preferred_element_type=jnp.float32)
@@ -165,11 +203,8 @@ def roi_align_matmul(
                          preferred_element_type=jnp.float32)
         return out.astype(features.dtype)
 
-    pooled = jax.lax.map(do_chunk, (wy, wx))  # (n_chunks, chunk, P*s, P*s, C)
-    pooled = pooled.reshape(-1, p * s, p * s, c)[:r]
-    # average the s x s samples per bin
-    pooled = pooled.reshape(r, p, s, p, s, c).mean(axis=(2, 4))
-    return pooled
+    pooled = jax.lax.map(do_chunk, (wy, wx))  # (n_chunks, chunk, P, P, C)
+    return pooled.reshape(-1, p, p, c)[:r]
 
 
 def roi_align_windowed(
@@ -198,26 +233,22 @@ def roi_align_windowed(
     """
     h, w, c = features.shape
     r = boxes.shape[0]
-    s = sampling_ratio
     p = output_size
     win_h = min(window, h)
     win_w = min(window, w)
-    ys, xs = _sample_coords(boxes, spatial_scale, output_size, s)
+    ys, cy, xs, cx = _sample_coords(boxes, spatial_scale, output_size,
+                                    sampling_ratio)
     ys = jnp.clip(ys, 0.0, h - 1.0)
     xs = jnp.clip(xs, 0.0, w - 1.0)
     # window origin: one pixel before the first sample, clipped so the
     # window stays in-bounds
-    y0 = jnp.clip(jnp.floor(ys[:, 0]) - 1.0, 0, h - win_h).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(xs[:, 0]) - 1.0, 0, w - win_w).astype(jnp.int32)
-    ys_loc = jnp.clip(ys - y0[:, None], 0.0, win_h - 1.0)
-    xs_loc = jnp.clip(xs - x0[:, None], 0.0, win_w - 1.0)
+    y0 = jnp.clip(jnp.floor(ys[:, 0, 0]) - 1.0, 0, h - win_h).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs[:, 0, 0]) - 1.0, 0, w - win_w).astype(jnp.int32)
+    ys_loc = jnp.clip(ys - y0[:, None, None], 0.0, win_h - 1.0)
+    xs_loc = jnp.clip(xs - x0[:, None, None], 0.0, win_w - 1.0)
 
-    hh = jnp.arange(win_h, dtype=jnp.float32)
-    ww = jnp.arange(win_w, dtype=jnp.float32)
-    wy = jnp.maximum(1.0 - jnp.abs(ys_loc[:, :, None] - hh[None, None, :]), 0.0)
-    wx = jnp.maximum(1.0 - jnp.abs(xs_loc[:, :, None] - ww[None, None, :]), 0.0)
-    wy = wy.astype(features.dtype)
-    wx = wx.astype(features.dtype)
+    wy = bin_axis_weights(ys_loc, cy, win_h).astype(features.dtype)
+    wx = bin_axis_weights(xs_loc, cx, win_w).astype(features.dtype)
 
     chunk = min(roi_chunk, r)
     pad = (-r) % chunk
@@ -227,8 +258,8 @@ def roi_align_windowed(
         y0 = jnp.pad(y0, (0, pad))
         x0 = jnp.pad(x0, (0, pad))
     n_chunks = (r + pad) // chunk
-    wy = wy.reshape(n_chunks, chunk, p * s, win_h)
-    wx = wx.reshape(n_chunks, chunk, p * s, win_w)
+    wy = wy.reshape(n_chunks, chunk, p, win_h)
+    wx = wx.reshape(n_chunks, chunk, p, win_w)
     y0 = y0.reshape(n_chunks, chunk)
     x0 = x0.reshape(n_chunks, chunk)
 
@@ -248,8 +279,7 @@ def roi_align_windowed(
         return out.astype(features.dtype)
 
     pooled = jax.lax.map(do_chunk, (wy, wx, y0, x0))
-    pooled = pooled.reshape(-1, p * s, p * s, c)[:r]
-    return pooled.reshape(r, p, s, p, s, c).mean(axis=(2, 4))
+    return pooled.reshape(-1, p, p, c)[:r]
 
 
 def multilevel_roi_align(
