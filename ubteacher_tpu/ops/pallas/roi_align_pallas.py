@@ -268,10 +268,6 @@ def _fwd_kernel(
 
     @pl.when(i == 0)
     def _():
-        # the partial-window DMAs leave the rest of the crop scratch as-is;
-        # weights there are exactly zero, but uninitialized VMEM could hold
-        # NaN bit patterns (0 * NaN = NaN) — zero once
-        crop[...] = jnp.zeros_like(crop)
         dma(0, 0, start=True)
 
     @pl.when(i + 1 < nrois)
@@ -280,17 +276,29 @@ def _fwd_kernel(
 
     dma(slot, i, start=False)
 
-    cr = crop[slot]                                   # (win_h, win_w, C)
-    crf = cr.reshape(win_h * win_w, cr.shape[-1])     # collapse major dims
-    w2t = _kron_in_kernel(wy_ref[0], wx_ref[0]).astype(crf.dtype)
-    # out[pq, c] = sum_yx w2t[yx, pq] crf[yx, c] — A^T B form
-    out = jax.lax.dot_general(
-        w2t,
-        crf,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                 # (P*P, C)
-    out_ref[0] = out.astype(out_ref.dtype)
+    # per-class matmul: weights outside the roi's size class are exactly
+    # zero, so contracting only the class region is exact and cuts the
+    # MXU work ~2x (the 49-lane output makes this matmul MXU-inefficient,
+    # so its time scales with the contraction length). Exactly one class
+    # predicate holds per roi, so out_ref is written exactly once.
+    rc_i, cc_i = rcls[i], ccls[i]
+    for ri, rsz in enumerate(row_cls):
+        for ci, csz in enumerate(col_cls):
+            @pl.when((rc_i == ri) & (cc_i == ci))
+            def _(rsz=rsz, csz=csz):
+                cr = crop[slot, :rsz, :csz]           # (rsz, csz, C)
+                crf = cr.reshape(rsz * csz, cr.shape[-1])
+                w2t = _kron_in_kernel(
+                    wy_ref[0, :, :rsz], wx_ref[0, :, :csz]
+                ).astype(crf.dtype)
+                # out[pq, c] = sum_yx w2t[yx, pq] crf[yx, c] — A^T B form
+                out = jax.lax.dot_general(
+                    w2t,
+                    crf,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                     # (P*P, C)
+                out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _fwd_call(feats, wy, wx, bidx, lvl, rcls, ccls, y0, x0, *, window,
@@ -348,7 +356,8 @@ def _bwd_kernel(
     g_ref = rest[nlev + 2]
     outs = rest[nlev + 3 : nlev + 3 + nlev]
     acc = rest[2 * nlev + 3]
-    sem = rest[2 * nlev + 4]
+    dcr = rest[2 * nlev + 4]
+    sem = rest[2 * nlev + 5]
     del zrefs
 
     win_h, win_w = _win_wh(window)
@@ -395,19 +404,33 @@ def _bwd_kernel(
     rmw_start(to_vmem=True)
 
     # dcrop[(hw), c] = sum_pq W2t[(hw), (pq)] * g[(pq), c] — the fwd W2t
-    # contracted on its SECOND dim: a plain matmul, no transposed copy
-    w2t = _kron_in_kernel(wy_ref[0], wx_ref[0]).astype(g_ref.dtype)
-    dcrop = jax.lax.dot_general(
-        w2t,
-        g_ref[0],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                  # (W*W, C)
-    c = dcrop.shape[-1]
+    # contracted on its SECOND dim: a plain matmul, no transposed copy.
+    # Per-class region only (weights beyond it are exactly zero), staged
+    # into a scratch so the MXU work still overlaps the read DMA.
+    c = g_ref.shape[-1]
+    for ri, rsz in enumerate(row_cls):
+        for ci, csz in enumerate(col_cls):
+            @pl.when((rc == ri) & (cc == ci))
+            def _(rsz=rsz, csz=csz):
+                w2t = _kron_in_kernel(
+                    wy_ref[0, :, :rsz], wx_ref[0, :, :csz]
+                ).astype(g_ref.dtype)
+                dcr[: rsz * csz] = jax.lax.dot_general(
+                    w2t,
+                    g_ref[0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # (rsz*csz, C)
 
     rmw_wait(to_vmem=True)
 
-    acc[...] = acc[...] + dcrop.reshape(win_h, win_w, c).astype(acc.dtype)
+    for ri, rsz in enumerate(row_cls):
+        for ci, csz in enumerate(col_cls):
+            @pl.when((rc == ri) & (cc == ci))
+            def _(rsz=rsz, csz=csz):
+                acc[:rsz, :csz] = acc[:rsz, :csz] + dcr[
+                    : rsz * csz
+                ].reshape(rsz, csz, c).astype(acc.dtype)
 
     # write back; must complete before the next roi (possibly overlapping
     # window) reads — grid steps are sequential, so waiting here suffices
@@ -445,6 +468,7 @@ def _bwd_call(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nlev,
         scratch_shapes=[
             pltpu.VMEM((win_h, win_w, c), dtype),
+            pltpu.VMEM((win_h * win_w, c), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
