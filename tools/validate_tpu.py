@@ -168,12 +168,49 @@ def check_focal() -> bool:
     return ok1 and ok2
 
 
+def check_matcher() -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.modeling.matcher import match, match_quality
+    from ubteacher_tpu.ops.pallas.matcher_pallas import match_anchors_pallas
+
+    rng = np.random.default_rng(4)
+    b, m, a = 4, 100, 5000
+    gt = np.zeros((b, m, 4), np.float32)
+    gt[..., 0] = rng.uniform(0, 500, (b, m))
+    gt[..., 1] = rng.uniform(0, 300, (b, m))
+    gt[..., 2] = gt[..., 0] + rng.uniform(1, 200, (b, m))
+    gt[..., 3] = gt[..., 1] + rng.uniform(1, 200, (b, m))
+    mask = np.zeros((b, m), bool)
+    for i, n in enumerate(rng.integers(0, m, b)):
+        mask[i, :n] = True
+    anchors = np.zeros((a, 4), np.float32)
+    anchors[:, 0] = rng.uniform(0, 500, a)
+    anchors[:, 1] = rng.uniform(0, 300, a)
+    anchors[:, 2] = anchors[:, 0] + rng.uniform(1, 150, a)
+    anchors[:, 3] = anchors[:, 1] + rng.uniform(1, 150, a)
+    anchors, gt, mask = jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(mask)
+
+    mi_ref, lab_ref = jax.vmap(
+        lambda gb, gm: match(
+            match_quality(gb, gm, anchors), (0.3, 0.7), (0, -1, 1), True
+        )
+    )(gt, mask)
+    mi, lab = match_anchors_pallas(anchors, gt, mask)
+    diff = max(
+        np.abs(np.asarray(mi) - np.asarray(mi_ref)).max(),
+        np.abs(np.asarray(lab) - np.asarray(lab_ref)).max(),
+    )
+    return _report("matcher_pallas (compiled)", float(diff), 0)
+
+
 def main() -> None:
     import jax
 
     print("backend:", jax.devices()[0])
-    results = [check_nms(), check_focal(), check_roi_align(),
-               check_roi_align_grad()]
+    results = [check_nms(), check_matcher(), check_focal(),
+               check_roi_align(), check_roi_align_grad()]
     if not all(results):
         sys.exit(1)
     print("all kernels validated on this backend")

@@ -38,6 +38,7 @@ from ..modeling.fast_rcnn import (
     focal_ce_loss,
     sample_proposals_batch,
 )
+from ..modeling.matcher import match_anchors_batched
 from ..modeling.rpn import (
     anchor_validity,
     find_top_proposals,
@@ -125,13 +126,15 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         k_anchor, k_sample = jax.random.split(rng)
         b = images.shape[0]
         anchor_keys = jax.random.split(k_anchor, b)
+        matched = match_anchors_batched(anch["anchors"], gt.boxes, gt.mask)
         labeled = jax.vmap(
-            lambda g, k, one_hw: label_anchors(
+            lambda g, k, one_hw, mi, lb: label_anchors(
                 anch["anchors"], g, rpn_cfg.BATCH_SIZE_PER_IMAGE,
                 rpn_cfg.POSITIVE_FRACTION, k, use_confidence,
                 anchor_valid=anchor_validity(anch["cell_origins"], one_hw),
+                matched=(mi, lb),
             )
-        )(gt, anchor_keys, hw)
+        )(gt, anchor_keys, hw, *matched)
         rpn_l = rpn_losses(
             anch["anchors"], logits, deltas, labeled,
             rpn_box2box, rpn_cfg.BATCH_SIZE_PER_IMAGE,
@@ -199,13 +202,15 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         k_anchor, k_sample = jax.random.split(rng)
         b = images.shape[0]
         anchor_keys = jax.random.split(k_anchor, b)
+        matched = match_anchors_batched(anch["anchors"], gt.boxes, gt.mask)
         labeled = jax.vmap(
-            lambda g, k, one_hw: label_anchors(
+            lambda g, k, one_hw, mi, lb: label_anchors(
                 anch["anchors"], g, rpn_cfg.BATCH_SIZE_PER_IMAGE,
                 rpn_cfg.POSITIVE_FRACTION, k, True,
                 anchor_valid=anchor_validity(anch["cell_origins"], one_hw),
+                matched=(mi, lb),
             )
-        )(gt, anchor_keys, hw)
+        )(gt, anchor_keys, hw, *matched)
 
         def rpn_part(sl):
             return rpn_losses(

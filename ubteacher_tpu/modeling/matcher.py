@@ -58,6 +58,64 @@ def match(
     return matched_idxs, anchor_labels
 
 
+def match_anchors_batched(
+    anchors: jnp.ndarray,    # (A, 4)
+    gt_boxes: jnp.ndarray,   # (B, M, 4)
+    gt_mask: jnp.ndarray,    # (B, M) bool
+    thresholds: Sequence[float] = (0.3, 0.7),
+    labels: Sequence[int] = (0, -1, 1),
+    allow_low_quality: bool = True,
+    method: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched matcher; returns (matched_idxs, labels), each (B, A) i32.
+
+    method="auto" picks the Pallas kernel on TPU (quality stays in VMEM
+    and padded gt rows are skipped — ~4x less step time than the XLA
+    (M, A) materialization at RPN shapes) and the XLA path elsewhere.
+    Both produce bitwise-identical results (tests/test_matcher_pallas)."""
+    if method == "auto":
+        from jax.extend import backend as _jax_backend
+
+        on_tpu = _jax_backend.get_backend().platform == "tpu"
+        method = "pallas" if on_tpu else "xla"
+    if method == "pallas":
+        from ..ops.pallas.matcher_pallas import match_anchors_pallas
+
+        def call(gb, gm):
+            return match_anchors_pallas(
+                anchors, gb, gm, tuple(thresholds), tuple(labels),
+                allow_low_quality,
+            )
+
+        # Pallas is opaque to GSPMD; shard the batch over the data mesh
+        # explicitly (same pattern as ops.roi_align)
+        from ..parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        if (
+            mesh is not None
+            and mesh.size > 1
+            and gt_boxes.shape[0] % mesh.size == 0
+        ):
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(tuple(mesh.axis_names))
+            call = jax.shard_map(
+                call,
+                mesh=mesh,
+                in_specs=(spec, spec),
+                out_specs=(spec, spec),
+                check_vma=False,
+            )
+        return call(gt_boxes, gt_mask)
+
+    def one(gb, gm):
+        q = match_quality(gb, gm, anchors)
+        return match(q, thresholds, labels, allow_low_quality)
+
+    return jax.vmap(one)(gt_boxes, gt_mask)
+
+
 def random_priority_topk(
     eligible: jnp.ndarray,   # (A,) bool
     k: int,

@@ -93,6 +93,7 @@ def label_anchors(
     rng: jnp.ndarray,
     use_confidence: bool,
     anchor_valid: jnp.ndarray | None = None,  # (A,) bool
+    matched: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Match + subsample for one image (reference: rpn.py:78-150),
     sample-first: only the <= batch_size_per_image training anchors are
@@ -105,12 +106,19 @@ def label_anchors(
       idx (K,) anchor indices; labels (K,) {1 pos, 0 neg}; ok (K,) sample
       validity; boxes (K, 4) matched gt; confid (K,) teacher scores (ones
       when not use_confidence).
+
+    `matched` optionally supplies precomputed (matched_idxs, labels) —
+    e.g. from the batched Pallas matcher (matcher.match_anchors_batched);
+    otherwise the XLA matcher runs here.
     """
-    quality = match_quality(gt.boxes, gt.mask, anchors)  # (M, A)
-    matched_idxs, labels = match(
-        quality, thresholds=(0.3, 0.7), labels=(0, -1, 1),
-        allow_low_quality=True,
-    )
+    if matched is None:
+        quality = match_quality(gt.boxes, gt.mask, anchors)  # (M, A)
+        matched_idxs, labels = match(
+            quality, thresholds=(0.3, 0.7), labels=(0, -1, 1),
+            allow_low_quality=True,
+        )
+    else:
+        matched_idxs, labels = matched
     # D2 subsample_labels semantics: up to pf*N random positives, negatives
     # fill the remaining slots. Random-priority top-k keeps it fixed-shape.
     kp, kn = jax.random.split(rng)

@@ -1,12 +1,24 @@
 """Greedy NMS as a Pallas TPU kernel.
 
 Replaces the O(K^2)-memory XLA path in ops/nms.py (which materializes the
-full IoU matrix) with a streaming kernel: boxes live in VMEM as a (8, K)
-lane-major tile (x1, y1, x2, y2, area, valid in separate sublanes); the
-sequential greedy pass keeps a (1, K) suppression row in scratch and
-computes each row's IoU vector on the fly on the VPU — no K x K
-materialization. Exact same kept set as ops.nms.nms_keep
-(torchvision semantics: suppress IoU > threshold).
+full IoU matrix) with a blocked streaming kernel. Exact same kept set as
+ops.nms.nms_keep (torchvision semantics: suppress IoU > threshold).
+
+Greedy NMS is sequentially dependent, so the cost driver on TPU is the
+per-iteration overhead of the scalar loop, not the pair IoUs (4M pairs at
+K=2048 is ~25 us of VPU math). Two-level structure keeps the sequential
+part cheap:
+  * candidates are packed score-descending into (NB, 8, 128) blocks
+    (x1, y1, x2, y2, area, valid on separate sublanes);
+  * within a block, a 128-step scalar loop runs greedy suppression on a
+    single (1, 128) vector register (one-hot picks and the IoU row touch
+    one vreg instead of the full (1, K) row — the old full-width variant
+    measured ~6x slower at K=2048);
+  * after a block is decided, one dense (128, 128) IoU pass per LATER
+    block suppresses its candidates against everything this block kept
+    (the block geometry is transposed to sublanes by a single small
+    matmul); later blocks then start their scalar loop with that
+    suppression state already applied.
 
 The caller pre-sorts by score descending (XLA sort) and pads K to a
 multiple of 128.
@@ -21,57 +33,91 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_BLK = 128
 
-def _nms_kernel(boxes_ref, out_ref, sup_ref, *, k: int, iou_threshold: float):
-    """boxes_ref: (8, K) f32 rows = [x1, y1, x2, y2, area, valid, 0, 0]
-    out_ref: (1, K) f32 keep mask; sup_ref: (1, K) f32 scratch.
 
-    Scalar extraction of row i uses one-hot reductions (col == i) instead of
-    dynamic slicing — Mosaic has no dynamic_slice on values, and masked
-    reductions map directly onto the VPU.
-    """
-    sup_ref[...] = jnp.zeros((1, k), jnp.float32)
-    x1 = boxes_ref[0:1, :]
-    y1 = boxes_ref[1:2, :]
-    x2 = boxes_ref[2:3, :]
-    y2 = boxes_ref[3:4, :]
-    area = boxes_ref[4:5, :]
-    valid = boxes_ref[5:6, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+def _nms_kernel(
+    blocks_ref, out_ref, sup_ref, *, nb: int, iou_threshold: float
+):
+    """blocks_ref: (NB, 8, 128) f32, sublanes = [x1, y1, x2, y2, area,
+    valid, 0, 0]; out_ref / sup_ref: (NB, 1, 128) f32 keep / suppression."""
+    sup_ref[...] = jnp.zeros_like(sup_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, _BLK), 1)
+    ident = (
+        jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 1)
+    ).astype(jnp.float32)
 
-    def body(i, _):
-        onehot = (col == i).astype(jnp.float32)
+    def outer(b, _):
+        blk = blocks_ref[b]                        # (8, 128)
+        x1 = blk[0:1]
+        y1 = blk[1:2]
+        x2 = blk[2:3]
+        y2 = blk[3:4]
+        area = blk[4:5]
+        valid = blk[5:6]
 
-        def pick(row):
-            return jnp.sum(row * onehot)
+        def inner(i, supb):
+            oh = (col == i).astype(jnp.float32)
 
-        keep_i = (pick(valid) > 0.0) & (pick(sup_ref[...]) == 0.0)
+            def pick(row):
+                return jnp.sum(row * oh)
 
-        @pl.when(keep_i)
-        def _():
-            bx1 = pick(x1)
-            by1 = pick(y1)
-            bx2 = pick(x2)
-            by2 = pick(y2)
-            barea = pick(area)
-            ix1 = jnp.maximum(x1, bx1)
-            iy1 = jnp.maximum(y1, by1)
-            ix2 = jnp.minimum(x2, bx2)
-            iy2 = jnp.minimum(y2, by2)
+            keep_i = (pick(valid) > 0.0) & (pick(supb) == 0.0)
+            ix1 = jnp.maximum(x1, pick(x1))
+            iy1 = jnp.maximum(y1, pick(y1))
+            ix2 = jnp.minimum(x2, pick(x2))
+            iy2 = jnp.minimum(y2, pick(y2))
             inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
-            union = area + barea - inter
-            iou = jnp.where(union > 0.0, inter / jnp.maximum(union, 1e-12), 0.0)
-            newly = (iou > iou_threshold) & (col > i)
-            sup_ref[...] = jnp.maximum(
-                sup_ref[...], newly.astype(jnp.float32)
+            union = area + pick(area) - inter
+            iou = jnp.where(
+                union > 0.0, inter / jnp.maximum(union, 1e-12), 0.0
             )
+            newly = ((iou > iou_threshold) & (col > i)).astype(jnp.float32)
+            return jnp.where(keep_i, jnp.maximum(supb, newly), supb)
 
+        supb = jax.lax.fori_loop(0, _BLK, inner, sup_ref[b])
+        keptb = jnp.where((valid > 0.0) & (supb == 0.0), 1.0, 0.0)  # (1, 128)
+        sup_ref[b] = supb
+        out_ref[b] = keptb
+
+        # kept geometry to sublanes for the dense cross-block passes:
+        # one small matmul transposes all 8 rows at once
+        blk_t = jax.lax.dot_general(
+            ident, blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (128, 8)
+        kept_col = jax.lax.dot_general(
+            ident, keptb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (128, 1)
+        tx1 = blk_t[:, 0:1]
+        ty1 = blk_t[:, 1:2]
+        tx2 = blk_t[:, 2:3]
+        ty2 = blk_t[:, 3:4]
+        tarea = blk_t[:, 4:5]
+
+        def cross(bb, _):
+            blk2 = blocks_ref[bb]                  # (8, 128)
+            ix1 = jnp.maximum(tx1, blk2[0:1])      # (128, 128)
+            iy1 = jnp.maximum(ty1, blk2[1:2])
+            ix2 = jnp.minimum(tx2, blk2[2:3])
+            iy2 = jnp.minimum(ty2, blk2[3:4])
+            inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+            union = tarea + blk2[4:5] - inter
+            iou = jnp.where(
+                union > 0.0, inter / jnp.maximum(union, 1e-12), 0.0
+            )
+            hit = (iou > iou_threshold).astype(jnp.float32) * kept_col
+            sup_ref[bb] = jnp.maximum(
+                sup_ref[bb], hit.max(axis=0, keepdims=True)
+            )
+            return 0
+
+        jax.lax.fori_loop(b + 1, nb, cross, 0)
         return 0
 
-    jax.lax.fori_loop(0, k, body, 0)
-    out_ref[...] = jnp.where(
-        (valid > 0.0) & (sup_ref[...] == 0.0), 1.0, 0.0
-    )
+    jax.lax.fori_loop(0, nb, outer, 0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -95,7 +141,8 @@ def nms_keep_pallas(
     boxes = jax.lax.stop_gradient(boxes)
     scores = jax.lax.stop_gradient(scores)
     k_in = boxes.shape[0]
-    k = _round_up(k_in, 128)
+    k = _round_up(k_in, _BLK)
+    nb = k // _BLK
 
     masked = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-masked)
@@ -111,15 +158,16 @@ def nms_keep_pallas(
     packed = packed.at[3, :k_in].set(y2)
     packed = packed.at[4, :k_in].set(area)
     packed = packed.at[5, :k_in].set(svalid.astype(jnp.float32))
+    blocks = packed.reshape(8, nb, _BLK).transpose(1, 0, 2)  # (NB, 8, 128)
 
     out = pl.pallas_call(
-        functools.partial(_nms_kernel, k=k, iou_threshold=iou_threshold),
-        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
+        functools.partial(_nms_kernel, nb=nb, iou_threshold=iou_threshold),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, _BLK), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nb, 1, _BLK), jnp.float32)],
         interpret=interpret,
-    )(packed)
+    )(blocks)
 
-    keep_sorted = out[0, :k_in] > 0.5
+    keep_sorted = out.reshape(-1)[:k_in] > 0.5
     return jnp.zeros((k_in,), bool).at[order].set(keep_sorted)
