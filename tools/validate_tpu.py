@@ -205,12 +205,31 @@ def check_matcher() -> bool:
     return _report("matcher_pallas (compiled)", float(diff), 0)
 
 
+def check_scatter_rows() -> bool:
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.ops.pallas.row_gather_pallas import (
+        _scatter_rows_xla, scatter_rows_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    b, k, l, d = 8, 384, 85932, 12
+    g = jnp.asarray(rng.normal(size=(b, k, d)).astype(np.float32))
+    rows = jnp.asarray(rng.integers(0, l, (b, k)).astype(np.int32))
+    got = np.asarray(scatter_rows_pallas(g, rows, l))
+    ref = np.asarray(_scatter_rows_xla(g, rows, l))
+    return _report(
+        "scatter_rows_pallas (compiled)", float(np.abs(got - ref).max()),
+        1e-6,
+    )
+
+
 def main() -> None:
     import jax
 
     print("backend:", jax.devices()[0])
-    results = [check_nms(), check_matcher(), check_focal(),
-               check_roi_align(), check_roi_align_grad()]
+    results = [check_nms(), check_matcher(), check_scatter_rows(),
+               check_focal(), check_roi_align(), check_roi_align_grad()]
     if not all(results):
         sys.exit(1)
     print("all kernels validated on this backend")

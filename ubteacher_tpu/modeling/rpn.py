@@ -167,26 +167,31 @@ def rpn_losses(
     smooth_l1_beta: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Reference: rpn.py:153-225 (sum BCE + smooth-l1 over sampled anchors,
-    normalized by batch_size_per_image * num_images). Predictions are
-    gathered at the K sampled anchors — row gather + one-hot lane select,
-    so the (L, A_cell) layout never flattens (see RPNHead)."""
-    num_images = pred_logits.shape[0]
+    normalized by batch_size_per_image * num_images).
+
+    Predictions are gathered at the K sampled anchors — row gather + a
+    one-hot lane select, so the (L, A_cell) layout never flattens (see
+    RPNHead). The row gather uses take_rows: XLA's forward gather is
+    fine, but its transpose is a scatter-add into the f32
+    (B, L, A_cell, 4) grid which lowers to a serial while-loop plus
+    layout copies on TPU (~7 ms/step at 768x1344); take_rows swaps that
+    backward for a Pallas row-scatter kernel."""
+    from ..ops.pallas.row_gather_pallas import take_rows
+
+    num_images, l, a_cell = pred_logits.shape
     idx = sampled["idx"]                                       # (B, K) flat
     pos = (sampled["labels"] == 1) & sampled["ok"]
     valid = sampled["ok"]
 
-    a_cell = pred_logits.shape[-1]
     rows = idx // a_cell                                       # (B, K)
     lane_onehot = jax.nn.one_hot(
         idx % a_cell, a_cell, dtype=pred_logits.dtype
     )                                                          # (B, K, A)
-    logits_rows = jnp.take_along_axis(
-        pred_logits, rows[..., None], axis=1
-    )                                                          # (B, K, A)
+    logits_rows = take_rows(pred_logits, rows)                 # (B, K, A)
     logits_s = (logits_rows * lane_onehot).sum(-1)             # (B, K)
-    deltas_rows = jnp.take_along_axis(
-        pred_deltas, rows[..., None, None], axis=1
-    )                                                          # (B, K, A, 4)
+    deltas_rows = take_rows(
+        pred_deltas.reshape(num_images, l, a_cell * 4), rows
+    ).reshape(num_images, -1, a_cell, 4)                       # (B, K, A, 4)
     deltas_s = (deltas_rows * lane_onehot[..., None]).sum(-2)  # (B, K, 4)
     anchors_s = anchors[idx]                                   # (B, K, 4)
 

@@ -347,70 +347,69 @@ def _bwd_kernel(
     *rest,
     nlev: int,
     window,
+    pipelined: bool,
 ):
     # inputs: nlev zero-initialized grad buffers (aliased to outputs),
-    # wy/wx blocks, g block; outputs: nlev grad buffers; scratch: window+sem
+    # wy/wx blocks, g block; outputs: nlev grad buffers; scratch: two
+    # window accumulators (parity double-buffer) + dcrop + read/write sems
     zrefs = rest[:nlev]          # aliased: same buffers as outputs
     wy_ref = rest[nlev]
     wx_ref = rest[nlev + 1]
     g_ref = rest[nlev + 2]
     outs = rest[nlev + 3 : nlev + 3 + nlev]
-    acc = rest[2 * nlev + 3]
+    acc = rest[2 * nlev + 3]     # (2, win_h, win_w, C)
     dcr = rest[2 * nlev + 4]
-    sem = rest[2 * nlev + 5]
+    rsem = rest[2 * nlev + 5]
+    wsem = rest[2 * nlev + 6]
     del zrefs
 
     win_h, win_w = _win_wh(window)
     row_cls, col_cls = _size_classes(win_h, win_w)
     i = pl.program_id(0)
-    b, l, yy, xx = bidx[i], lvl[i], y0[i], x0[i]
-    rc, cc = rcls[i], ccls[i]
-    xx = pl.multiple_of(xx, 8)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
 
     # predicated partial-window RMW: only the roi's size class moves.
     # dcrop is exactly zero outside the class region (zero weights), so
     # skipping the read/write there is exact; the skipped region of acc
     # holds stale values that are never written back.
-    def rmw_start(to_vmem):
+    def rmw(j, s, sem, to_vmem: bool, do: str):
+        b, l, yy, xx = bidx[j], lvl[j], y0[j], x0[j]
+        rc, cc = rcls[j], ccls[j]
+        xx = pl.multiple_of(xx, 8)
         for k in range(nlev):
             for ri, rsz in enumerate(row_cls):
                 for ci, csz in enumerate(col_cls):
                     region = outs[k].at[b, pl.ds(yy, rsz), pl.ds(xx, csz), :]
-                    src, dst = (
-                        (region, acc.at[:rsz, :csz]) if to_vmem
-                        else (acc.at[:rsz, :csz], region)
-                    )
-                    copy = pltpu.make_async_copy(src, dst, sem)
+                    buf = acc.at[s, :rsz, :csz]
+                    src, dst = (region, buf) if to_vmem else (buf, region)
+                    copy = pltpu.make_async_copy(src, dst, sem.at[s])
 
                     @pl.when((l == k) & (rc == ri) & (cc == ci))
-                    def _(copy=copy):
-                        copy.start()
+                    def _(copy=copy, do=do):
+                        getattr(copy, do)()
 
-    def rmw_wait(to_vmem):
-        for k in range(nlev):
-            for ri, rsz in enumerate(row_cls):
-                for ci, csz in enumerate(col_cls):
-                    region = outs[k].at[b, pl.ds(yy, rsz), pl.ds(xx, csz), :]
-                    src, dst = (
-                        (region, acc.at[:rsz, :csz]) if to_vmem
-                        else (acc.at[:rsz, :csz], region)
-                    )
-                    copy = pltpu.make_async_copy(src, dst, sem)
-
-                    @pl.when((l == k) & (rc == ri) & (cc == ci))
-                    def _(copy=copy):
-                        copy.wait()
-
-    rmw_start(to_vmem=True)
+    # Pipelined (B > 1): the write-back of roi i is NOT waited in step i —
+    # it drains while step i+1 reads/computes. Safe because the host
+    # interleaves rois across images (consecutive rois can never touch the
+    # same region) and acc[slot] is only reused once roi i-2's write (same
+    # parity) is waited here. Non-pipelined (B == 1): consecutive rois may
+    # overlap, so the write is waited in-step (sequential RMW).
+    if pipelined:
+        @pl.when(i >= 2)
+        def _():
+            rmw(i - 2, slot, wsem, to_vmem=False, do="wait")
+    rmw(i, slot, rsem, to_vmem=True, do="start")
 
     # dcrop[(hw), c] = sum_pq W2t[(hw), (pq)] * g[(pq), c] — the fwd W2t
     # contracted on its SECOND dim: a plain matmul, no transposed copy.
     # Per-class region only (weights beyond it are exactly zero), staged
     # into a scratch so the MXU work still overlaps the read DMA.
     c = g_ref.shape[-1]
+    rc_i, cc_i = rcls[i], ccls[i]
     for ri, rsz in enumerate(row_cls):
         for ci, csz in enumerate(col_cls):
-            @pl.when((rc == ri) & (cc == ci))
+            @pl.when((rc_i == ri) & (cc_i == ci))
             def _(rsz=rsz, csz=csz):
                 w2t = _kron_in_kernel(
                     wy_ref[0, :, :rsz], wx_ref[0, :, :csz]
@@ -422,25 +421,33 @@ def _bwd_kernel(
                     preferred_element_type=jnp.float32,
                 )                                      # (rsz*csz, C)
 
-    rmw_wait(to_vmem=True)
+    rmw(i, slot, rsem, to_vmem=True, do="wait")
 
     for ri, rsz in enumerate(row_cls):
         for ci, csz in enumerate(col_cls):
-            @pl.when((rc == ri) & (cc == ci))
+            @pl.when((rc_i == ri) & (cc_i == ci))
             def _(rsz=rsz, csz=csz):
-                acc[:rsz, :csz] = acc[:rsz, :csz] + dcr[
+                acc[slot, :rsz, :csz] = acc[slot, :rsz, :csz] + dcr[
                     : rsz * csz
                 ].reshape(rsz, csz, c).astype(acc.dtype)
 
-    # write back; must complete before the next roi (possibly overlapping
-    # window) reads — grid steps are sequential, so waiting here suffices
-    rmw_start(to_vmem=False)
-    rmw_wait(to_vmem=False)
+    rmw(i, slot, wsem, to_vmem=False, do="start")
+    if pipelined:
+        # drain: the final step leaves writes i and (if any) i-1 in flight
+        @pl.when(i == n - 1)
+        def _():
+            rmw(n - 1, slot, wsem, to_vmem=False, do="wait")
+        if n >= 2:
+            @pl.when(i == n - 1)
+            def _():
+                rmw(n - 2, 1 - slot, wsem, to_vmem=False, do="wait")
+    else:
+        rmw(i, slot, wsem, to_vmem=False, do="wait")
 
 
 def _bwd_call(
     zero_feats, wy, wx, g, bidx, lvl, rcls, ccls, y0, x0, *, window,
-    interpret: bool,
+    pipelined: bool, interpret: bool,
 ):
     nlev = len(zero_feats)
     n, p, win_h = wy.shape
@@ -467,13 +474,16 @@ def _bwd_call(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nlev,
         scratch_shapes=[
-            pltpu.VMEM((win_h, win_w, c), dtype),
+            pltpu.VMEM((2, win_h, win_w, c), dtype),
             pltpu.VMEM((win_h * win_w, c), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, nlev=nlev, window=window),
+        functools.partial(
+            _bwd_kernel, nlev=nlev, window=window, pipelined=pipelined
+        ),
         out_shape=[
             jax.ShapeDtypeStruct(f.shape, f.dtype) for f in zero_feats
         ],
@@ -555,6 +565,18 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
     )
     dtype = feats[0].dtype
     gf = g.reshape(b * r, output_size * output_size, c).astype(dtype)
+
+    # Interleave rois across images ((B, R) -> (R, B) order): consecutive
+    # grid steps then touch different images, so the pipelined kernel can
+    # leave each roi's write-back in flight through the next step without
+    # any region-overlap hazard. B == 1 falls back to sequential RMW.
+    def inter(v):
+        return v.reshape(b, r, *v.shape[1:]).swapaxes(0, 1).reshape(v.shape)
+
+    if b > 1:
+        bidx, lvl, rcls, ccls, y0, x0, wy, wx, gf = (
+            inter(v) for v in (bidx, lvl, rcls, ccls, y0, x0, wy, wx, gf)
+        )
     zero_padded = tuple(
         jnp.zeros(
             (f.shape[0], *_padded_hw(f.shape[1], f.shape[2], window), c),
@@ -564,7 +586,7 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
     )
     dpadded = _bwd_call(
         zero_padded, wy, wx, gf, bidx, lvl, rcls, ccls, y0, x0,
-        window=window, interpret=interpret,
+        window=window, pipelined=b > 1, interpret=interpret,
     )
     dfeats = tuple(
         d[:, : f.shape[1], : f.shape[2], :] for d, f in zip(dpadded, feats)
