@@ -127,6 +127,31 @@ def test_random_priority_topk():
     assert len(set(np.asarray(idx[ok]).tolist())) == 10  # no duplicates
 
 
+def test_random_priority_topk_hierarchical():
+    """The RPN-width path (A >= 512k) goes through the per-block
+    hierarchical top-k; it must still find every scarce eligible and
+    return distinct eligible indices at full k."""
+    a = 258048
+    rng = np.random.default_rng(0)
+    elig = np.zeros((a,), bool)
+    elig[rng.choice(a, 5000, replace=False)] = True
+    idx, ok = random_priority_topk(jnp.asarray(elig), 256, jax.random.PRNGKey(0))
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert ok.all()
+    assert len(set(idx.tolist())) == 256
+    assert elig[idx].all()
+
+    scarce = np.zeros((a,), bool)
+    on = rng.choice(a, 37, replace=False)
+    scarce[on] = True
+    idx2, ok2 = random_priority_topk(
+        jnp.asarray(scarce), 128, jax.random.PRNGKey(1)
+    )
+    idx2, ok2 = np.asarray(idx2), np.asarray(ok2)
+    assert ok2.sum() == 37                 # finds ALL eligibles
+    assert set(idx2[ok2].tolist()) == set(on.tolist())
+
+
 def test_roi_align_matches_torchvision_formula():
     """Check against a direct bilinear computation for a single aligned box."""
     rng = np.random.default_rng(0)
