@@ -60,3 +60,21 @@ class Detections:
     centerness: jnp.ndarray
     box_std: jnp.ndarray
     mask: jnp.ndarray
+
+
+# jax.export serialization: both containers flatten with empty () auxdata,
+# so the artifact only needs a stable name (tools/export_inference.py
+# serves the inference fns whose outputs are these pytrees)
+try:
+    from jax import export as _jax_export
+
+    for _cls in (PaddedInstances, Detections):
+        _jax_export.register_pytree_node_serialization(
+            _cls,
+            serialized_name=f"ubteacher_tpu.{_cls.__name__}",
+            serialize_auxdata=lambda aux: b"",
+            deserialize_auxdata=lambda b: (),
+        )
+    del _cls
+except Exception:  # pragma: no cover — jax without export serialization
+    pass
