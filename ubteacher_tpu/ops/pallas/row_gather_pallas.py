@@ -72,10 +72,16 @@ def scatter_rows_pallas(
     g: jnp.ndarray,      # (B, K, D)
     rows: jnp.ndarray,   # (B, K) int32 in [0, L)
     l: int,
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """Transpose of the row gather: (B, L, D) grid with g[b, j] added at
-    row rows[b, j] (duplicate rows accumulate, matching scatter-add)."""
+    row rows[b, j] (duplicate rows accumulate, matching scatter-add).
+    interpret=None resolves by backend (compiled on TPU, interpreted
+    elsewhere — same convention as ops.roi_align)."""
+    if interpret is None:
+        from jax.extend import backend as _jax_backend
+
+        interpret = _jax_backend.get_backend().platform != "tpu"
     b, k, d = g.shape
     nl = _round_up(l, _LANE) // _LANE
     out = pl.pallas_call(
@@ -122,31 +128,27 @@ def _take_rows_fwd(x, rows):
 
 def _take_rows_bwd(res, g):
     rows, l = res
-    from jax.extend import backend as _jax_backend
+    call = functools.partial(scatter_rows_pallas, l=l)
+    # Pallas is opaque to GSPMD; shard the batch over the data mesh
+    # explicitly (same pattern as ops.roi_align / modeling.matcher). The
+    # kernel runs interpreted off-TPU, so CPU tests and dryrun_multichip
+    # exercise this exact path.
+    from ...parallel.mesh import active_mesh
 
-    if _jax_backend.get_backend().platform == "tpu":
-        call = functools.partial(scatter_rows_pallas, l=l)
-        # Pallas is opaque to GSPMD; shard the batch over the data mesh
-        # explicitly (same pattern as ops.roi_align / modeling.matcher)
-        from ...parallel.mesh import active_mesh
+    mesh = active_mesh()
+    if (
+        mesh is not None
+        and mesh.size > 1
+        and g.shape[0] % mesh.size == 0
+    ):
+        from jax.sharding import PartitionSpec as P
 
-        mesh = active_mesh()
-        if (
-            mesh is not None
-            and mesh.size > 1
-            and g.shape[0] % mesh.size == 0
-        ):
-            from jax.sharding import PartitionSpec as P
-
-            spec = P(tuple(mesh.axis_names))
-            call = jax.shard_map(
-                call, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
-                check_vma=False,
-            )
-        dx = call(g, rows)
-    else:
-        dx = _scatter_rows_xla(g, rows, l)
-    return dx, np.zeros(rows.shape, jax.dtypes.float0)
+        spec = P(tuple(mesh.axis_names))
+        call = jax.shard_map(
+            call, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+            check_vma=False,
+        )
+    return call(g, rows), np.zeros(rows.shape, jax.dtypes.float0)
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
