@@ -151,6 +151,28 @@ def test_random_priority_topk_hierarchical():
     assert ok2.sum() == 37                 # finds ALL eligibles
     assert set(idx2[ok2].tolist()) == set(on.tolist())
 
+    # CLUSTERED eligibles — RPN positives are consecutive flat indices
+    # around an object; the strided block layout must still find every
+    # one when scarce (a contiguous run maps to distinct blocks)
+    clustered = np.zeros((a,), bool)
+    clustered[10_000:10_030] = True
+    idx3, ok3 = random_priority_topk(
+        jnp.asarray(clustered), 128, jax.random.PRNGKey(2)
+    )
+    idx3, ok3 = np.asarray(idx3), np.asarray(ok3)
+    assert ok3.sum() == 30
+    assert set(idx3[ok3].tolist()) == set(range(10_000, 10_030))
+    # and sample exactly k distinct members from a large contiguous run
+    big = np.zeros((a,), bool)
+    big[50_000:50_300] = True
+    idx4, ok4 = random_priority_topk(
+        jnp.asarray(big), 128, jax.random.PRNGKey(3)
+    )
+    idx4, ok4 = np.asarray(idx4), np.asarray(ok4)
+    assert ok4.all()
+    sel = set(idx4.tolist())
+    assert len(sel) == 128 and sel <= set(range(50_000, 50_300))
+
 
 def test_roi_align_matches_torchvision_formula():
     """Check against a direct bilinear computation for a single aligned box."""

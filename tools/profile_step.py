@@ -159,7 +159,9 @@ def main() -> None:
         help="parse an existing trace dir instead of capturing",
     )
     args = ap.parse_args()
-    if args.rcnn and "FCOS" in args.config:
+    # only swap the UNTOUCHED default config for --rcnn; never override an
+    # explicitly supplied one
+    if args.rcnn and args.config == ap.get_default("config"):
         args.config = (
             "configs/Faster-RCNN/coco-standard/"
             "faster_rcnn_R_50_FPN_ut2_sup1_run0.yaml"

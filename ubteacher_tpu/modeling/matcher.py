@@ -69,17 +69,17 @@ def match_anchors_batched(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched matcher; returns (matched_idxs, labels), each (B, A) i32.
 
-    method="auto" picks the Pallas kernel on TPU (quality stays in VMEM
-    and padded gt rows are skipped — ~4x less step time than the XLA
-    (M, A) materialization at RPN shapes) and the XLA path elsewhere.
-    Both produce bitwise-identical results (tests/test_matcher_pallas)."""
+    method="auto" runs the Pallas kernel everywhere (compiled on TPU —
+    quality stays in VMEM and padded gt rows are skipped, ~4x less step
+    time than the XLA (M, A) materialization at RPN shapes; interpreted
+    elsewhere so CPU tests and the multichip dryrun exercise the same
+    shard_map + kernel path). method="xla" forces the vmapped reference
+    formulation; both are bitwise-identical (tests/test_matcher_pallas)."""
     if method == "auto":
-        from jax.extend import backend as _jax_backend
-
-        on_tpu = _jax_backend.get_backend().platform == "tpu"
-        method = "pallas" if on_tpu else "xla"
+        method = "pallas"
     if method == "pallas":
         from ..ops.pallas.matcher_pallas import match_anchors_pallas
+        from ..parallel.mesh import shard_over_data
 
         def call(gb, gm):
             return match_anchors_pallas(
@@ -88,26 +88,9 @@ def match_anchors_batched(
             )
 
         # Pallas is opaque to GSPMD; shard the batch over the data mesh
-        # explicitly (same pattern as ops.roi_align)
-        from ..parallel.mesh import active_mesh
-
-        mesh = active_mesh()
-        if (
-            mesh is not None
-            and mesh.size > 1
-            and gt_boxes.shape[0] % mesh.size == 0
-        ):
-            from jax.sharding import PartitionSpec as P
-
-            spec = P(tuple(mesh.axis_names))
-            call = jax.shard_map(
-                call,
-                mesh=mesh,
-                in_specs=(spec, spec),
-                out_specs=(spec, spec),
-                check_vma=False,
-            )
-        return call(gt_boxes, gt_mask)
+        return shard_over_data(call, gt_boxes.shape[0], 2)(
+            gt_boxes, gt_mask
+        )
 
     def one(gb, gm):
         q = match_quality(gb, gm, anchors)
@@ -130,12 +113,16 @@ def random_priority_topk(
 
     At RPN widths the full-width lax.top_k is itself the cost (~6 ms/step
     at A=258k): because the keys are iid uniforms, the top-k is computed
-    hierarchically — 8 rounds of per-128-lane-block max/argmax (VPU
-    reduces), then an exact top-k over the 8/block survivors. This is
-    exact unless one block holds >8 of the global top-k, which at the
-    guarded lambda = 128k/A <= 1/4 has probability < 1e-7 per call — and
-    a miss merely swaps one uniformly-random sample for another, which is
-    distributionally invisible for sampling."""
+    hierarchically — 8 rounds of per-block max/argmax (VPU reduces), then
+    an exact top-k over the 8/block survivors. Blocks are STRIDED
+    (block j holds anchors {j, j+nb, j+2nb, ...}), so a spatial cluster
+    of eligible anchors — consecutive flat indices, the normal shape of
+    RPN positives around an object — lands in distinct blocks; the result
+    is exact unless >8 of the global top-k share an index residue mod
+    nb ~ 2016, which needs either a single >8*nb contiguous cluster or a
+    mod-nb collision of iid-placed winners (probability < 1e-7 at the
+    guarded lambda = 128k/A <= 1/4). A residue miss merely swaps one
+    uniformly-random sample for another."""
     a = eligible.shape[0]
     k = min(k, a)
     pri = jnp.where(eligible, jax.random.uniform(rng, eligible.shape), NEG_INF)
@@ -143,16 +130,18 @@ def random_priority_topk(
     if a < 512 * k or k > 8 * nb:
         vals, idx = jax.lax.top_k(pri, k)
         return idx, vals > NEG_INF / 2
-    p = jnp.full((nb * 128,), NEG_INF).at[:a].set(pri).reshape(nb, 128)
-    base = jnp.arange(nb, dtype=jnp.int32) * 128
-    lane = jnp.arange(128, dtype=jnp.int32)
+    # row r of the (128, nb) view holds anchors [r*nb, (r+1)*nb); column j
+    # is the strided block {j, j+nb, ...} — reduce over rows (sublanes)
+    p = jnp.full((nb * 128,), NEG_INF).at[:a].set(pri).reshape(128, nb)
+    col = jnp.arange(nb, dtype=jnp.int32)
+    row = jnp.arange(128, dtype=jnp.int32)
     sv, si = [], []
     for _ in range(8):
-        v = p.max(axis=1)                               # (nb,)
-        am = jnp.argmax(p, axis=1).astype(jnp.int32)    # (nb,)
+        v = p.max(axis=0)                               # (nb,)
+        am = jnp.argmax(p, axis=0).astype(jnp.int32)    # (nb,)
         sv.append(v)
-        si.append(base + am)
-        p = jnp.where(lane[None] == am[:, None], NEG_INF, p)
+        si.append(am * nb + col)
+        p = jnp.where(row[:, None] == am[None], NEG_INF, p)
     vals, j = jax.lax.top_k(jnp.stack(sv, 1).reshape(-1), k)
     return jnp.stack(si, 1).reshape(-1)[j], vals > NEG_INF / 2
 

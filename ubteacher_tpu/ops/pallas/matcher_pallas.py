@@ -177,12 +177,17 @@ def match_anchors_pallas(
     thresholds: Tuple[float, ...] = (0.3, 0.7),
     labels: Tuple[int, ...] = (0, -1, 1),
     allow_low_quality: bool = True,
-    interpret: bool = False,
+    interpret=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched D2 matcher; returns (matched_idxs, labels), each (B, A) i32.
 
     Bitwise-equal to vmapping modeling.matcher.match_quality + match over
-    the batch. Non-differentiable (integer outputs)."""
+    the batch. Non-differentiable (integer outputs). interpret=None
+    resolves by backend (compiled on TPU, interpreted elsewhere)."""
+    if interpret is None:
+        from jax.extend import backend as _jax_backend
+
+        interpret = _jax_backend.get_backend().platform != "tpu"
     anchors = jax.lax.stop_gradient(anchors)
     gt_boxes = jax.lax.stop_gradient(gt_boxes)
     b, m, _ = gt_boxes.shape

@@ -128,26 +128,14 @@ def _take_rows_fwd(x, rows):
 
 def _take_rows_bwd(res, g):
     rows, l = res
-    call = functools.partial(scatter_rows_pallas, l=l)
-    # Pallas is opaque to GSPMD; shard the batch over the data mesh
-    # explicitly (same pattern as ops.roi_align / modeling.matcher). The
+    # Pallas is opaque to GSPMD; shard the batch over the data mesh. The
     # kernel runs interpreted off-TPU, so CPU tests and dryrun_multichip
     # exercise this exact path.
-    from ...parallel.mesh import active_mesh
+    from ...parallel.mesh import shard_over_data
 
-    mesh = active_mesh()
-    if (
-        mesh is not None
-        and mesh.size > 1
-        and g.shape[0] % mesh.size == 0
-    ):
-        from jax.sharding import PartitionSpec as P
-
-        spec = P(tuple(mesh.axis_names))
-        call = jax.shard_map(
-            call, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
-            check_vma=False,
-        )
+    call = shard_over_data(
+        functools.partial(scatter_rows_pallas, l=l), g.shape[0], 2
+    )
     return call(g, rows), np.zeros(rows.shape, jax.dtypes.float0)
 
 

@@ -317,28 +317,11 @@ def multilevel_roi_align(
             )
 
         # Pallas is opaque to GSPMD (it would replicate the kernel on every
-        # device); shard over the registered data mesh explicitly.
-        from ..parallel.mesh import active_mesh
+        # device); shard over the registered data mesh explicitly. The
+        # spec applies to the feats tuple by pytree-prefix broadcast.
+        from ..parallel.mesh import shard_over_data
 
-        mesh = active_mesh()
-        if (
-            mesh is not None
-            and mesh.size > 1
-            and boxes.shape[0] % mesh.size == 0
-        ):
-            from jax.sharding import PartitionSpec as P
-
-            axes = tuple(mesh.axis_names)
-            spec = P(axes)
-            call = jax.shard_map(
-                call,
-                mesh=mesh,
-                in_specs=((spec,) * len(feats), spec),
-                out_specs=spec,
-                # pallas_call out_shapes carry no varying-axes info
-                check_vma=False,
-            )
-        return call(feats, boxes)
+        return shard_over_data(call, boxes.shape[0], 2)(feats, boxes)
     align = {
         "windowed": roi_align_windowed,
         "matmul": roi_align_matmul,

@@ -39,6 +39,27 @@ def active_mesh() -> Mesh | None:
     return _ACTIVE_MESH
 
 
+def shard_over_data(call, batch_size: int, n_in: int):
+    """Wrap a Pallas-calling function in shard_map over the active mesh's
+    batch axis (see set_active_mesh). `call` takes `n_in` arrays whose
+    leading dim is the batch; returns `call` unchanged when no mesh is
+    active, it is trivial, or the batch doesn't divide it. The canonical
+    pattern shared by ops.roi_align / modeling.matcher /
+    ops.pallas.row_gather_pallas."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.size <= 1 or batch_size % mesh.size != 0:
+        return call
+    spec = P(tuple(mesh.axis_names))
+    return jax.shard_map(
+        call,
+        mesh=mesh,
+        in_specs=(spec,) * n_in,
+        out_specs=spec,
+        # pallas_call out_shapes carry no varying-axes info
+        check_vma=False,
+    )
+
+
 def get_mesh(num_devices: int = -1) -> Mesh:
     """1-D data-parallel mesh over all (or the first N) visible devices."""
     devices = jax.devices()
