@@ -130,23 +130,39 @@ def main() -> None:
     )
 
 
-def bench_inference() -> None:
-    """Secondary metric: FCOS eval-path latency (batch 1, test canvas)."""
+def bench_inference(rcnn: bool = False) -> None:
+    """Secondary metric: eval-path latency (batch 1, test canvas)."""
     import jax
 
     from ubteacher_tpu.config import add_ubteacher_config, get_cfg
-    from ubteacher_tpu.evaluation.evaluator import make_fcos_inference_fn
-    from ubteacher_tpu.modeling.fcos_head import build_one_stage_detector
 
     cfg = get_cfg()
     add_ubteacher_config(cfg)
-    cfg.merge_from_file("configs/FCOS/coco-standard/fcos_R_50_ut2_sup1_run0.yaml")
+    if rcnn:
+        cfg.merge_from_file(
+            "configs/Faster-RCNN/coco-standard/"
+            "faster_rcnn_R_50_FPN_ut2_sup1_run0.yaml"
+        )
+    else:
+        cfg.merge_from_file(
+            "configs/FCOS/coco-standard/fcos_R_50_ut2_sup1_run0.yaml"
+        )
     cfg.freeze()
-    model = build_one_stage_detector(cfg)
     h, w = cfg.TPU.TEST_CANVAS
     images = jnp.zeros((1, h, w, 3), jnp.float32)
+    if rcnn:
+        from ubteacher_tpu.engine.rcnn_trainer import make_rcnn_inference_fn
+        from ubteacher_tpu.modeling.rcnn import build_two_stage_rcnn
+
+        model = build_two_stage_rcnn(cfg)
+        infer = make_rcnn_inference_fn(cfg, model)
+    else:
+        from ubteacher_tpu.evaluation.evaluator import make_fcos_inference_fn
+        from ubteacher_tpu.modeling.fcos_head import build_one_stage_detector
+
+        model = build_one_stage_detector(cfg)
+        infer = make_fcos_inference_fn(cfg, model)
     params = model.init(jax.random.PRNGKey(0), images)["params"]
-    infer = make_fcos_inference_fn(cfg, model)
     hw = jnp.asarray([[h, w]], jnp.float32)
     dets = infer(params, images, hw)
     # device_get, not block_until_ready: the axon remote runtime returns
@@ -163,7 +179,7 @@ def bench_inference() -> None:
     print(
         json.dumps(
             {
-                "metric": "fcos_eval_ms_per_image",
+                "metric": ("rcnn" if rcnn else "fcos") + "_eval_ms_per_image",
                 "value": round(dt * 1000, 2),
                 "unit": "ms/img",
                 "vs_baseline": 0.0,
@@ -264,7 +280,7 @@ if __name__ == "__main__":
     import sys
 
     if "--inference" in sys.argv:
-        bench_inference()
+        bench_inference(rcnn="--rcnn" in sys.argv)
     elif "--rcnn" in sys.argv:
         bench_rcnn()
     else:
