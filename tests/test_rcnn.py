@@ -272,6 +272,30 @@ def test_rcnn_train_steps_smoke():
     assert dets.boxes.shape[0] == b
     assert dets.mask.dtype == bool
 
+    # mixed canvas buckets: label and unlabel streams on DIFFERENT shapes
+    # must fall back to per-canvas programs instead of crashing the fused
+    # concatenate (the loader routinely pairs canvases from different
+    # scale/orientation buckets)
+    imgs_u = jnp.asarray(
+        rng.normal(100, 40, (b, h + 32, w, 3)).clip(0, 255).astype(np.float32)
+    )
+    batch_mixed = dict(batch, images_unlabel_k=imgs_u)
+    state, metrics = mutual(state, batch_mixed)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    # labeled images with ZERO gt keep their all-background RPN objectness
+    # loss in the mutual phase (reference: confidence weighting applies to
+    # pseudo branches only; rpn.py:135-143 zeroes only no-gt PSEUDO images)
+    gt_empty = PaddedInstances(
+        jnp.zeros((b, m, 4)), jnp.zeros((b, m), jnp.int32),
+        jnp.zeros((b, m)), jnp.zeros((b, m, 4)),
+        jnp.zeros((b, m), bool),
+    )
+    batch_empty = dict(batch, gt_label=gt_empty)
+    _, metrics = mutual(state, batch_empty)
+    assert float(metrics["loss_rpn_cls"]) > 0
+
 
 def test_label_anchors_sample_first():
     """Sample-first labeling: balanced counts, correct matched boxes, and

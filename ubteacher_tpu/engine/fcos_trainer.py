@@ -42,6 +42,7 @@ from ..modeling.fcos_outputs import (
 )
 from ..solver.build import stop_frozen_gradients
 from ..structures import PaddedInstances
+from .common import hw_or_canvas
 
 
 @flax.struct.dataclass
@@ -98,16 +99,7 @@ def make_fcos_train_steps(
     max_pseudo = cfg.TPU.MAX_PSEUDO
     freeze_at = cfg.MODEL.BACKBONE.FREEZE_AT
 
-    def _hw_or_canvas(batch, key, images):
-        """(B, 2) float32 true sizes; full canvas when the batch ships none."""
-        hw = batch.get(key)
-        if hw is None:
-            b = images.shape[0]
-            h, w = images.shape[1:3]
-            return jnp.broadcast_to(
-                jnp.asarray([h, w], jnp.float32)[None, :], (b, 2)
-            )
-        return jnp.asarray(hw, jnp.float32)
+    _hw_or_canvas = hw_or_canvas
 
     def _sup_losses_from_dense(dense, hw, gt, image_hw=None):
         grid = compute_locations(hw, strides)

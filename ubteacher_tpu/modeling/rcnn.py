@@ -49,8 +49,10 @@ class TwoStageRCNN(nn.Module):
         return self.fpn(self.backbone(x))
 
     def rpn(self, pyramid: Dict[str, jnp.ndarray]):
-        """-> (objectness (B, A_total), deltas (B, A_total, 4)) concatenated
-        over levels in anchor order."""
+        """-> (objectness (B, L, A_cell), deltas (B, L, A_cell, 4)):
+        locations (L, concatenated over levels in anchor order) major,
+        cell-anchor dim minor — no lane relayout between the head convs
+        and the losses/proposal selection (see RPNHead)."""
         feats = [pyramid[f] for f in self.rpn_in_features]
         logits, deltas = self.rpn_head(feats)
         return jnp.concatenate(logits, axis=1), jnp.concatenate(deltas, axis=1)

@@ -147,10 +147,15 @@ def label_anchors(
     any_gt = gt.mask.any()
     mi = matched_idxs[idx]
     boxes = jnp.where(any_gt, gt.boxes[mi], 0.0)
-    if use_confidence:
-        confid = jnp.where(any_gt, gt.scores[mi], 0.0)
-    else:
-        confid = jnp.ones(idx.shape, jnp.float32)
+    # use_confidence may be a traced per-image bool (the fused mutual step
+    # mixes labeled rows, which must NOT be confidence-weighted — the
+    # reference weights only pseudo branches and zeroes the loss of
+    # no-gt pseudo images, rpn.py:135-143 — with pseudo rows, which must)
+    confid = jnp.where(
+        use_confidence,
+        jnp.where(any_gt, gt.scores[mi], 0.0),
+        jnp.ones(idx.shape, jnp.float32),
+    )
     return {
         "idx": idx, "labels": sel_labels, "ok": ok,
         "boxes": boxes, "confid": confid,
