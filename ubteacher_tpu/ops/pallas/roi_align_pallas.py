@@ -43,6 +43,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -494,6 +495,140 @@ def _bwd_call(
     )(bidx, lvl, rcls, ccls, y0, x0, *zero_feats, wy, wx, g)
 
 
+# ------------------------------------------------- tiled bwd (coalesced)
+
+_TILE_H, _TILE_W = 48, 112   # tile interior; the buffer adds the window
+
+
+def _bwd_tiled_kernel(
+    start, tb, tl, tyo, txo, y0s, x0s,      # scalar prefetch
+    *rest,
+    nlev: int,
+    window,
+    p: int,
+):
+    """Tile-coalesced backward: rois are pre-sorted by (image, level,
+    spatial tile); each grid step reads ONE (TILE+window)-sized region of
+    the gradient buffer into VMEM, accumulates every roi of that tile
+    with full-window kron matmuls (per-roi wy/wx/g rows are double-
+    buffered HBM fetches), and writes the region back once. Per-roi RMW
+    traffic (~1.3 MB/roi at the median size class) becomes per-TILE
+    traffic (~16.6 MB per touched tile, ~28 rois/tile at RCNN shapes) —
+    ~2.5x less HBM movement than the per-roi kernel, and empty tiles are
+    skipped entirely. Sequential grid steps keep halo-overlap RMW exact."""
+    zrefs = rest[:nlev]
+    wy_hbm = rest[nlev]
+    wx_hbm = rest[nlev + 1]
+    g_hbm = rest[nlev + 2]
+    outs = rest[nlev + 3 : 2 * nlev + 3]
+    tile = rest[2 * nlev + 3]       # (TBH, TBW, C)
+    wyb = rest[2 * nlev + 4]        # (2, P, WH)
+    wxb = rest[2 * nlev + 5]        # (2, P, WW)
+    gb = rest[2 * nlev + 6]         # (2, PP, C)
+    tsem = rest[2 * nlev + 7]
+    fsem = rest[2 * nlev + 8]       # (2, 3)
+    del zrefs
+
+    win_h, win_w = _win_wh(window)
+    tbh, tbw = _TILE_H + win_h, _TILE_W + win_w
+    t = pl.program_id(0)
+    n0, n1 = start[t], start[t + 1]
+    c = tile.shape[-1]
+
+    def tile_copy(do: str, to_vmem: bool):
+        bb, oy = tb[t], tyo[t]
+        ox = pl.multiple_of(txo[t], 8)
+        for k in range(nlev):
+            region = outs[k].at[bb, pl.ds(oy, tbh), pl.ds(ox, tbw), :]
+            src, dst = (region, tile) if to_vmem else (tile, region)
+            copy = pltpu.make_async_copy(src, dst, tsem)
+
+            @pl.when(tl[t] == k)
+            def _(copy=copy, do=do):
+                getattr(copy, do)()
+
+    def fetch(slot, j, do: str):
+        for q, (hbm, buf) in enumerate(
+            ((wy_hbm, wyb), (wx_hbm, wxb), (g_hbm, gb))
+        ):
+            copy = pltpu.make_async_copy(
+                hbm.at[j], buf.at[slot], fsem.at[slot, q]
+            )
+            getattr(copy, do)()
+
+    @pl.when(n1 > n0)
+    def _():
+        tile_copy("start", to_vmem=True)
+        fetch(0, n0, "start")
+        tile_copy("wait", to_vmem=True)
+
+        def body(j, _):
+            slot = jax.lax.rem(j - n0, 2)
+
+            @pl.when(j + 1 < n1)
+            def _():
+                fetch(1 - slot, j + 1, "start")
+
+            fetch(slot, j, "wait")
+            # buffers are padded to DMA tiles; compute on the true extents
+            w2t = _kron_in_kernel(
+                wyb[slot, :p, :win_h], wxb[slot, :p, :win_w]
+            ).astype(gb.dtype)
+            dcr = jax.lax.dot_general(
+                w2t, gb[slot, : p * p, :c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # (WH*WW, C)
+            ly = y0s[j] - tyo[t]
+            lx = pl.multiple_of(x0s[j] - txo[t], 8)
+            cur = tile[pl.ds(ly, win_h), pl.ds(lx, win_w), :]
+            tile[pl.ds(ly, win_h), pl.ds(lx, win_w), :] = cur + dcr.reshape(
+                win_h, win_w, c
+            ).astype(tile.dtype)
+            return 0
+
+        jax.lax.fori_loop(n0, n1, body, 0)
+        tile_copy("start", to_vmem=False)
+        tile_copy("wait", to_vmem=False)
+
+
+def _bwd_tiled_call(
+    zero_feats, wy, wx, g, start, tb, tl, tyo, txo, y0s, x0s, *,
+    window, output_size: int, interpret: bool,
+):
+    nlev = len(zero_feats)
+    win_h, win_w = _win_wh(window)
+    c = zero_feats[0].shape[-1]
+    dtype = zero_feats[0].dtype
+    tbh, tbw = _TILE_H + win_h, _TILE_W + win_w
+    t = tb.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(t,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nlev + 3),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nlev,
+        scratch_shapes=[
+            pltpu.VMEM((tbh, tbw, c), dtype),
+            pltpu.VMEM((2,) + wy.shape[1:], wy.dtype),
+            pltpu.VMEM((2,) + wx.shape[1:], wx.dtype),
+            pltpu.VMEM((2,) + g.shape[1:], g.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_tiled_kernel, nlev=nlev, window=window, p=output_size
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(f.shape, f.dtype) for f in zero_feats
+        ],
+        grid_spec=grid_spec,
+        # operand index space includes the 7 scalar-prefetch args
+        input_output_aliases={7 + k: k for k in range(nlev)},
+        interpret=interpret,
+    )(start, tb, tl, tyo, txo, y0s, x0s, *zero_feats, wy, wx, g)
+
+
 # ----------------------------------------------------------------- wrapper
 
 
@@ -556,6 +691,8 @@ def _fwd(feats, boxes, levels, output_size, sampling_ratio, window, interpret):
 
 
 def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
+    import os
+
     feats, boxes = res
     b, r, _ = boxes.shape
     c = feats[0].shape[-1]
@@ -565,29 +702,99 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
     )
     dtype = feats[0].dtype
     gf = g.reshape(b * r, output_size * output_size, c).astype(dtype)
+    win_h, win_w = _win_wh(window)
 
-    # Interleave rois across images ((B, R) -> (R, B) order): consecutive
-    # grid steps then touch different images, so the pipelined kernel can
-    # leave each roi's write-back in flight through the next step without
-    # any region-overlap hazard. B == 1 falls back to sequential RMW.
-    def inter(v):
-        return v.reshape(b, r, *v.shape[1:]).swapaxes(0, 1).reshape(v.shape)
+    if os.environ.get("UBT_ROIALIGN_BWD", "tiled") == "tiled":
+        # tile-coalesced RMW (see _bwd_tiled_kernel): sort rois by
+        # (image, level, spatial tile), one VMEM-resident region per tile
+        padded = [
+            _padded_hw(f.shape[1], f.shape[2], window) for f in feats
+        ]
+        nty = [(hp - win_h) // _TILE_H + 1 for hp, _ in padded]
+        ntx = [(wp - win_w) // _TILE_W + 1 for _, wp in padded]
+        counts = [a * x for a, x in zip(nty, ntx)]
+        level_base = np.concatenate([[0], np.cumsum(counts)])
+        t1 = int(level_base[-1])
+        tb, tl, tyo, txo = [], [], [], []
+        for bi in range(b):
+            for k in range(len(feats)):
+                for ty in range(nty[k]):
+                    for tx in range(ntx[k]):
+                        tb.append(bi)
+                        tl.append(k)
+                        tyo.append(ty * _TILE_H)
+                        txo.append(tx * _TILE_W)
+        t_total = b * t1
+        gidx = (
+            bidx * t1
+            + jnp.asarray(level_base[:-1], jnp.int32)[lvl]
+            + (y0 // _TILE_H) * jnp.asarray(ntx, jnp.int32)[lvl]
+            + x0 // _TILE_W
+        )
+        order = jnp.argsort(gidx)
+        start = jnp.searchsorted(
+            gidx[order], jnp.arange(t_total + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        # buffers sized to the tile grid: the furthest tile read is
+        # [(nty-1)*TILE_H, (nty-1)*TILE_H + TILE_H + win_h) and always
+        # covers the level content (y0 <= hp - win_h)
+        zero_padded = tuple(
+            jnp.zeros(
+                (
+                    f.shape[0],
+                    (a - 1) * _TILE_H + _TILE_H + win_h,
+                    (x - 1) * _TILE_W + _TILE_W + win_w,
+                    c,
+                ),
+                dtype,
+            )
+            for f, a, x in zip(feats, nty, ntx)
+        )
+        # manual per-roi row DMAs require (8, 128)-tile-aligned minor dims
+        def padto(v, s1, s2):
+            return jnp.pad(
+                v, ((0, 0), (0, s1 - v.shape[1]), (0, s2 - v.shape[2]))
+            )
 
-    if b > 1:
-        bidx, lvl, rcls, ccls, y0, x0, wy, wx, gf = (
-            inter(v) for v in (bidx, lvl, rcls, ccls, y0, x0, wy, wx, gf)
+        pp = output_size * output_size
+        dpadded = _bwd_tiled_call(
+            zero_padded,
+            padto(wy[order], 8, _round_up(win_h, 128)),
+            padto(wx[order], 8, _round_up(win_w, 128)),
+            padto(gf[order], _round_up(pp, 8), _round_up(c, 128)),
+            start,
+            jnp.asarray(tb, jnp.int32), jnp.asarray(tl, jnp.int32),
+            jnp.asarray(tyo, jnp.int32), jnp.asarray(txo, jnp.int32),
+            y0[order], x0[order], window=window,
+            output_size=output_size, interpret=interpret,
         )
-    zero_padded = tuple(
-        jnp.zeros(
-            (f.shape[0], *_padded_hw(f.shape[1], f.shape[2], window), c),
-            dtype,
+    else:
+        # per-roi RMW kernel (UBT_ROIALIGN_BWD=roi), kept for A/B.
+        # Interleave rois across images ((B, R) -> (R, B) order):
+        # consecutive grid steps then touch different images, so the
+        # pipelined kernel can leave each roi's write-back in flight
+        # through the next step without any region-overlap hazard.
+        def inter(v):
+            return v.reshape(b, r, *v.shape[1:]).swapaxes(0, 1).reshape(
+                v.shape
+            )
+
+        if b > 1:
+            bidx, lvl, rcls, ccls, y0, x0, wy, wx, gf = (
+                inter(v)
+                for v in (bidx, lvl, rcls, ccls, y0, x0, wy, wx, gf)
+            )
+        zero_padded = tuple(
+            jnp.zeros(
+                (f.shape[0], *_padded_hw(f.shape[1], f.shape[2], window), c),
+                dtype,
+            )
+            for f in feats
         )
-        for f in feats
-    )
-    dpadded = _bwd_call(
-        zero_padded, wy, wx, gf, bidx, lvl, rcls, ccls, y0, x0,
-        window=window, pipelined=b > 1, interpret=interpret,
-    )
+        dpadded = _bwd_call(
+            zero_padded, wy, wx, gf, bidx, lvl, rcls, ccls, y0, x0,
+            window=window, pipelined=b > 1, interpret=interpret,
+        )
     dfeats = tuple(
         d[:, : f.shape[1], : f.shape[2], :] for d, f in zip(dpadded, feats)
     )
