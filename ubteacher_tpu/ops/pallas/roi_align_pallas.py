@@ -495,9 +495,70 @@ def _bwd_call(
     )(bidx, lvl, rcls, ccls, y0, x0, *zero_feats, wy, wx, g)
 
 
-# ------------------------------------------------- tiled bwd (coalesced)
+# ------------------------------------------------- tiled fwd/bwd (coalesced)
 
 _TILE_H, _TILE_W = 48, 112   # tile interior; the buffer adds the window
+
+
+def _padto(v, s1, s2):
+    """Pad the two minor dims up to (s1, s2) — per-roi row DMAs from HBM
+    must move whole (8, 128) tiles."""
+    return jnp.pad(v, ((0, 0), (0, s1 - v.shape[1]), (0, s2 - v.shape[2])))
+
+
+def _tile_tables(padded_hw, b: int, win_h: int, win_w: int):
+    """Static tile layout over every (image, level): stride-(48, 112)
+    tiles whose (48+win_h, 112+win_w) read regions are CLAMPED to the
+    level bounds at the bottom/right edge (so only levels smaller than
+    one region need padding). Returns the per-tile scalar tables, the
+    per-level grid dims for roi->tile assignment, and the (possibly
+    grown) level buffer sizes."""
+    tbh, tbw = _TILE_H + win_h, _TILE_W + win_w
+    nty, ntx, oys, oxs, padded2 = [], [], [], [], []
+    for hp, wp in padded_hw:
+        hp2 = max(hp, tbh)
+        wp2 = _round_up(max(wp, tbw), 8)
+        a = (max(hp2 - tbh, 0) + _TILE_H - 1) // _TILE_H + 1
+        x = (max(wp2 - tbw, 0) + _TILE_W - 1) // _TILE_W + 1
+        nty.append(a)
+        ntx.append(x)
+        oys.append([min(i * _TILE_H, hp2 - tbh) for i in range(a)])
+        oxs.append([min(i * _TILE_W, wp2 - tbw) for i in range(x)])
+        padded2.append((hp2, wp2))
+    counts = [a * x for a, x in zip(nty, ntx)]
+    level_base = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    t1 = int(level_base[-1])
+    tb, tl, tyo, txo = [], [], [], []
+    for bi in range(b):
+        for k in range(len(padded_hw)):
+            for oy in oys[k]:
+                for ox in oxs[k]:
+                    tb.append(bi)
+                    tl.append(k)
+                    tyo.append(oy)
+                    txo.append(ox)
+    return t1, level_base, nty, ntx, tb, tl, tyo, txo, padded2
+
+
+def _tile_sort(bidx, lvl, y0, x0, t1, level_base, nty, ntx, t_total):
+    """Sort rois by tile id; returns (order, start) with start[t]:start[t+1]
+    the sorted-roi range of tile t. Edge rois assign to the clamped tile
+    (ty/tx capped at the grid dim), whose region still covers them."""
+    nty_l = jnp.asarray(nty, jnp.int32)[lvl]
+    ntx_l = jnp.asarray(ntx, jnp.int32)[lvl]
+    ty = jnp.minimum(y0 // _TILE_H, nty_l - 1)
+    tx = jnp.minimum(x0 // _TILE_W, ntx_l - 1)
+    gidx = (
+        bidx * t1
+        + jnp.asarray(level_base[:-1], jnp.int32)[lvl]
+        + ty * ntx_l
+        + tx
+    )
+    order = jnp.argsort(gidx)
+    start = jnp.searchsorted(
+        gidx[order], jnp.arange(t_total + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    return order, start
 
 
 def _bwd_tiled_kernel(
@@ -710,58 +771,23 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
         padded = [
             _padded_hw(f.shape[1], f.shape[2], window) for f in feats
         ]
-        nty = [(hp - win_h) // _TILE_H + 1 for hp, _ in padded]
-        ntx = [(wp - win_w) // _TILE_W + 1 for _, wp in padded]
-        counts = [a * x for a, x in zip(nty, ntx)]
-        level_base = np.concatenate([[0], np.cumsum(counts)])
-        t1 = int(level_base[-1])
-        tb, tl, tyo, txo = [], [], [], []
-        for bi in range(b):
-            for k in range(len(feats)):
-                for ty in range(nty[k]):
-                    for tx in range(ntx[k]):
-                        tb.append(bi)
-                        tl.append(k)
-                        tyo.append(ty * _TILE_H)
-                        txo.append(tx * _TILE_W)
-        t_total = b * t1
-        gidx = (
-            bidx * t1
-            + jnp.asarray(level_base[:-1], jnp.int32)[lvl]
-            + (y0 // _TILE_H) * jnp.asarray(ntx, jnp.int32)[lvl]
-            + x0 // _TILE_W
+        t1, level_base, nty, ntx, tb, tl, tyo, txo, padded2 = _tile_tables(
+            padded, b, win_h, win_w
         )
-        order = jnp.argsort(gidx)
-        start = jnp.searchsorted(
-            gidx[order], jnp.arange(t_total + 1, dtype=jnp.int32)
-        ).astype(jnp.int32)
-        # buffers sized to the tile grid: the furthest tile read is
-        # [(nty-1)*TILE_H, (nty-1)*TILE_H + TILE_H + win_h) and always
-        # covers the level content (y0 <= hp - win_h)
+        order, start = _tile_sort(
+            bidx, lvl, y0, x0, t1, level_base, nty, ntx, b * t1
+        )
         zero_padded = tuple(
-            jnp.zeros(
-                (
-                    f.shape[0],
-                    (a - 1) * _TILE_H + _TILE_H + win_h,
-                    (x - 1) * _TILE_W + _TILE_W + win_w,
-                    c,
-                ),
-                dtype,
-            )
-            for f, a, x in zip(feats, nty, ntx)
+            jnp.zeros((f.shape[0], hp2, wp2, c), dtype)
+            for f, (hp2, wp2) in zip(feats, padded2)
         )
         # manual per-roi row DMAs require (8, 128)-tile-aligned minor dims
-        def padto(v, s1, s2):
-            return jnp.pad(
-                v, ((0, 0), (0, s1 - v.shape[1]), (0, s2 - v.shape[2]))
-            )
-
         pp = output_size * output_size
         dpadded = _bwd_tiled_call(
             zero_padded,
-            padto(wy[order], 8, _round_up(win_h, 128)),
-            padto(wx[order], 8, _round_up(win_w, 128)),
-            padto(gf[order], _round_up(pp, 8), _round_up(c, 128)),
+            _padto(wy[order], 8, _round_up(win_h, 128)),
+            _padto(wx[order], 8, _round_up(win_w, 128)),
+            _padto(gf[order], _round_up(pp, 8), _round_up(c, 128)),
             start,
             jnp.asarray(tb, jnp.int32), jnp.asarray(tl, jnp.int32),
             jnp.asarray(tyo, jnp.int32), jnp.asarray(txo, jnp.int32),
