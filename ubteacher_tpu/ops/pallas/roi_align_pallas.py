@@ -28,8 +28,13 @@ which is why the kron is built with P*P as the lane dim).
 The backward (d/dfeatures only — proposals are detached, like D2's
 ROIAlign which never backprops to roi coords) is the exact transpose:
 dcrop = W2t @ g per roi (a plain matmul in the transposed layout),
-accumulated into the per-level feature gradient by read-modify-write DMA. TPU grid steps run sequentially on a core, so
-overlapping roi windows accumulate without races.
+accumulated into the per-level feature gradient. The default backward is
+TILE-COALESCED (_bwd_tiled_kernel): rois sort by (image, level, 48x112
+spatial tile) and each sequential grid step does ONE read-modify-write
+of a tile+window region for all its rois — clustered proposals'
+overlapping windows move once instead of per roi (~2x the per-roi RMW
+kernel, which remains under UBT_ROIALIGN_BWD=roi). TPU grid steps run
+sequentially on a core, so overlapping regions accumulate without races.
 
 Oversized rois (clamped into p5 by FPN level assignment with a span larger
 than the window) clamp their outer samples to the window edge — documented
