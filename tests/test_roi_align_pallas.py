@@ -177,3 +177,29 @@ def test_shard_map_over_data_mesh_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+def test_large_output_size_grad():
+    """POOLER_RESOLUTION=14 (the D2/base-config default) through the
+    tiled backward: the per-roi weight-row pad must round P up, not
+    assume P <= 8."""
+    rng = np.random.default_rng(0)
+    feats = tuple(
+        jnp.asarray(rng.normal(size=(1, s, s, 8)).astype(np.float32))
+        for s in (64, 32, 16, 8)
+    )
+    b1 = rng.uniform(0, 120, (1, 6, 2)).astype(np.float32)
+    boxes = jnp.asarray(
+        np.concatenate([b1, b1 + rng.uniform(8, 80, (1, 6, 2))], -1)
+    ).astype(jnp.float32)
+
+    def f(fs):
+        return (
+            multilevel_roi_align_pallas(
+                fs, boxes, output_size=14, interpret=True
+            ) ** 2
+        ).sum()
+
+    grads = jax.grad(f)(feats)
+    assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in grads)

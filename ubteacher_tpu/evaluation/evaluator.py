@@ -94,14 +94,17 @@ def inference_on_dataset(
     # shard eval batches over the active data-parallel mesh so all chips
     # work during eval (the reference shards the test set across ranks via
     # InferenceSampler, build.py:114); requires EVAL_BATCH % n_devices == 0.
-    # shard_batch also handles multi-host (each process ships only its
-    # addressable rows) — the same path the train loop uses.
+    # Multi-host: eval stays PROCESS-LOCAL (every host evaluates the full
+    # set on its own devices) — the per-image host loop below needs every
+    # detection row, and device_get of a globally-sharded result would
+    # raise on non-addressable shards.
     from ..parallel import active_mesh, shard_batch
 
     mesh = active_mesh()
+    single_process = jax.process_count() == 1
 
     def to_device(x):
-        if mesh is None:
+        if mesh is None or not single_process:
             return jnp.asarray(x)
         return shard_batch(x, mesh)
 

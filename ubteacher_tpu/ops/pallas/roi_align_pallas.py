@@ -44,6 +44,7 @@ deviation shared with ops.roi_align.roi_align_windowed.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -53,6 +54,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..roi_align import assign_levels, bin_axis_weights, bin_sample_positions
+
+# backward implementation: "tiled" (default) or "roi" (per-roi RMW, for
+# A/B). Read ONCE at import — flipping the env var later would not evict
+# already-jitted programs, so a mid-process flip must not look effective.
+_BWD_IMPL = os.environ.get("UBT_ROIALIGN_BWD", "tiled")
+if _BWD_IMPL not in ("tiled", "roi"):
+    raise ValueError(f"UBT_ROIALIGN_BWD must be 'tiled' or 'roi', got {_BWD_IMPL}")
 
 # ---------------------------------------------------------------- host prep
 
@@ -513,23 +521,23 @@ def _padto(v, s1, s2):
 
 def _tile_tables(padded_hw, b: int, win_h: int, win_w: int):
     """Static tile layout over every (image, level): stride-(48, 112)
-    tiles whose (48+win_h, 112+win_w) read regions are CLAMPED to the
-    level bounds at the bottom/right edge (so only levels smaller than
-    one region need padding). Returns the per-tile scalar tables, the
-    per-level grid dims for roi->tile assignment, and the (possibly
-    grown) level buffer sizes."""
-    tbh, tbw = _TILE_H + win_h, _TILE_W + win_w
-    nty, ntx, oys, oxs, padded2 = [], [], [], [], []
+    tiles whose read regions are CLAMPED to each level's padded bounds —
+    both at the bottom/right edge and in overall extent, so a level
+    smaller than one (48+win_h, 112+win_w) region gets a single region
+    of its own exact size and the gradient buffers never grow beyond
+    _padded_hw. Returns the per-tile scalar tables, the per-level grid
+    dims for roi->tile assignment, and the per-level region extents."""
+    nty, ntx, oys, oxs, extents = [], [], [], [], []
     for hp, wp in padded_hw:
-        hp2 = max(hp, tbh)
-        wp2 = _round_up(max(wp, tbw), 8)
-        a = (max(hp2 - tbh, 0) + _TILE_H - 1) // _TILE_H + 1
-        x = (max(wp2 - tbw, 0) + _TILE_W - 1) // _TILE_W + 1
+        tbh = min(_TILE_H + win_h, hp)
+        tbw = min(_TILE_W + win_w, wp)
+        a = (max(hp - tbh, 0) + _TILE_H - 1) // _TILE_H + 1
+        x = (max(wp - tbw, 0) + _TILE_W - 1) // _TILE_W + 1
         nty.append(a)
         ntx.append(x)
-        oys.append([min(i * _TILE_H, hp2 - tbh) for i in range(a)])
-        oxs.append([min(i * _TILE_W, wp2 - tbw) for i in range(x)])
-        padded2.append((hp2, wp2))
+        oys.append([min(i * _TILE_H, hp - tbh) for i in range(a)])
+        oxs.append([min(i * _TILE_W, wp - tbw) for i in range(x)])
+        extents.append((tbh, tbw))
     counts = [a * x for a, x in zip(nty, ntx)]
     level_base = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     t1 = int(level_base[-1])
@@ -542,7 +550,7 @@ def _tile_tables(padded_hw, b: int, win_h: int, win_w: int):
                     tl.append(k)
                     tyo.append(oy)
                     txo.append(ox)
-    return t1, level_base, nty, ntx, tb, tl, tyo, txo, padded2
+    return t1, level_base, nty, ntx, tb, tl, tyo, txo, extents
 
 
 def _tile_sort(bidx, lvl, y0, x0, t1, level_base, nty, ntx, t_total):
@@ -572,6 +580,7 @@ def _bwd_tiled_kernel(
     nlev: int,
     window,
     p: int,
+    extents: Tuple[Tuple[int, int], ...],
 ):
     """Tile-coalesced backward: rois are pre-sorted by (image, level,
     spatial tile); each grid step reads ONE (TILE+window)-sized region of
@@ -596,7 +605,6 @@ def _bwd_tiled_kernel(
     del zrefs
 
     win_h, win_w = _win_wh(window)
-    tbh, tbw = _TILE_H + win_h, _TILE_W + win_w
     t = pl.program_id(0)
     n0, n1 = start[t], start[t + 1]
     c = tile.shape[-1]
@@ -604,9 +612,10 @@ def _bwd_tiled_kernel(
     def tile_copy(do: str, to_vmem: bool):
         bb, oy = tb[t], tyo[t]
         ox = pl.multiple_of(txo[t], 8)
-        for k in range(nlev):
+        for k, (tbh, tbw) in enumerate(extents):
             region = outs[k].at[bb, pl.ds(oy, tbh), pl.ds(ox, tbw), :]
-            src, dst = (region, tile) if to_vmem else (tile, region)
+            buf = tile.at[:tbh, :tbw]
+            src, dst = (region, buf) if to_vmem else (buf, region)
             copy = pltpu.make_async_copy(src, dst, tsem)
 
             @pl.when(tl[t] == k)
@@ -659,13 +668,13 @@ def _bwd_tiled_kernel(
 
 def _bwd_tiled_call(
     zero_feats, wy, wx, g, start, tb, tl, tyo, txo, y0s, x0s, *,
-    window, output_size: int, interpret: bool,
+    window, output_size: int, extents, interpret: bool,
 ):
     nlev = len(zero_feats)
-    win_h, win_w = _win_wh(window)
     c = zero_feats[0].shape[-1]
     dtype = zero_feats[0].dtype
-    tbh, tbw = _TILE_H + win_h, _TILE_W + win_w
+    tbh = max(e[0] for e in extents)
+    tbw = max(e[1] for e in extents)
     t = tb.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -683,7 +692,8 @@ def _bwd_tiled_call(
     )
     return pl.pallas_call(
         functools.partial(
-            _bwd_tiled_kernel, nlev=nlev, window=window, p=output_size
+            _bwd_tiled_kernel, nlev=nlev, window=window, p=output_size,
+            extents=tuple(extents),
         ),
         out_shape=[
             jax.ShapeDtypeStruct(f.shape, f.dtype) for f in zero_feats
@@ -757,8 +767,6 @@ def _fwd(feats, boxes, levels, output_size, sampling_ratio, window, interpret):
 
 
 def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
-    import os
-
     feats, boxes = res
     b, r, _ = boxes.shape
     c = feats[0].shape[-1]
@@ -770,34 +778,34 @@ def _bwd(levels, output_size, sampling_ratio, window, interpret, res, g):
     gf = g.reshape(b * r, output_size * output_size, c).astype(dtype)
     win_h, win_w = _win_wh(window)
 
-    if os.environ.get("UBT_ROIALIGN_BWD", "tiled") == "tiled":
+    if _BWD_IMPL == "tiled":
         # tile-coalesced RMW (see _bwd_tiled_kernel): sort rois by
         # (image, level, spatial tile), one VMEM-resident region per tile
         padded = [
             _padded_hw(f.shape[1], f.shape[2], window) for f in feats
         ]
-        t1, level_base, nty, ntx, tb, tl, tyo, txo, padded2 = _tile_tables(
+        t1, level_base, nty, ntx, tb, tl, tyo, txo, extents = _tile_tables(
             padded, b, win_h, win_w
         )
         order, start = _tile_sort(
             bidx, lvl, y0, x0, t1, level_base, nty, ntx, b * t1
         )
         zero_padded = tuple(
-            jnp.zeros((f.shape[0], hp2, wp2, c), dtype)
-            for f, (hp2, wp2) in zip(feats, padded2)
+            jnp.zeros((f.shape[0], hp, wp, c), dtype)
+            for f, (hp, wp) in zip(feats, padded)
         )
         # manual per-roi row DMAs require (8, 128)-tile-aligned minor dims
         pp = output_size * output_size
         dpadded = _bwd_tiled_call(
             zero_padded,
-            _padto(wy[order], 8, _round_up(win_h, 128)),
-            _padto(wx[order], 8, _round_up(win_w, 128)),
+            _padto(wy[order], _round_up(output_size, 8), _round_up(win_h, 128)),
+            _padto(wx[order], _round_up(output_size, 8), _round_up(win_w, 128)),
             _padto(gf[order], _round_up(pp, 8), _round_up(c, 128)),
             start,
             jnp.asarray(tb, jnp.int32), jnp.asarray(tl, jnp.int32),
             jnp.asarray(tyo, jnp.int32), jnp.asarray(txo, jnp.int32),
             y0[order], x0[order], window=window,
-            output_size=output_size, interpret=interpret,
+            output_size=output_size, extents=extents, interpret=interpret,
         )
     else:
         # per-roi RMW kernel (UBT_ROIALIGN_BWD=roi), kept for A/B.
