@@ -98,3 +98,73 @@ def test_stop_frozen_gradients_kills_frozen_grads():
     assert float(jnp.abs(bb["res3_block0"]["conv1_norm"]["scale"]).max()) == 0.0
     assert float(jnp.abs(bb["res3_block0"]["conv1"]["kernel"]).max()) > 0.0
     assert float(jnp.abs(g["head"]["cls_logits"]["kernel"]).max()) > 0.0
+
+
+def test_optimizer_param_groups_d2_semantics():
+    """SOLVER.WEIGHT_DECAY_NORM / BIAS_LR_FACTOR / WEIGHT_DECAY_BIAS must
+    shape the update like D2's build_optimizer (reference consumes it at
+    engine/trainer.py:46): GN affine decays at WEIGHT_DECAY_NORM (0 by
+    default), biases get lr x BIAS_LR_FACTOR, WEIGHT_DECAY_BIAS overrides
+    the bias decay (even on norm biases) when not None."""
+    import jax
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.solver import build_optimizer
+    from ubteacher_tpu.solver.build import optimizer_hyperparams
+
+    params = {
+        "head": {
+            "cls_tower0": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+            "cls_gn0": {"GroupNorm_0": {"scale": jnp.ones((2,)),
+                                        "bias": jnp.ones((2,))}},
+            "scales": jnp.ones((5,)),
+        },
+    }
+
+    cfg = _cfg()  # defaults: WD=1e-4, WD_NORM=0, BIAS_LR=1, WD_BIAS=None
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.MOMENTUM = 0.0
+    decay, lrf = optimizer_hyperparams(cfg, params)
+    assert decay["head"]["cls_tower0"]["kernel"] == 1e-4
+    assert decay["head"]["cls_tower0"]["bias"] == 1e-4   # inherits module
+    assert decay["head"]["cls_gn0"]["GroupNorm_0"]["scale"] == 0.0
+    assert decay["head"]["cls_gn0"]["GroupNorm_0"]["bias"] == 0.0
+    assert decay["head"]["scales"] == 1e-4  # Scale param is NOT a norm
+    assert all(f == 1.0 for f in jax.tree.leaves(lrf))
+
+    # end-to-end: zero grads -> update is -lr * decay * param
+    tx = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, opt_state, params)
+    lr = cfg.SOLVER.BASE_LR
+    np.testing.assert_allclose(
+        np.asarray(updates["head"]["cls_tower0"]["kernel"]),
+        -lr * 1e-4 * np.ones((2, 2)), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updates["head"]["cls_gn0"]["GroupNorm_0"]["scale"]),
+        np.zeros((2,)), atol=0)
+
+    # explicit bias overrides: BIAS_LR_FACTOR=2, WEIGHT_DECAY_BIAS=1e-3
+    cfg2 = _cfg(**{"SOLVER.BIAS_LR_FACTOR": 2.0,
+                   "SOLVER.WEIGHT_DECAY_BIAS": 1e-3})
+    cfg2.SOLVER.WARMUP_ITERS = 0
+    cfg2.SOLVER.MOMENTUM = 0.0
+    decay2, lrf2 = optimizer_hyperparams(cfg2, params)
+    assert decay2["head"]["cls_tower0"]["bias"] == 1e-3
+    # bias override applies AFTER the norm rule (D2 overrides.update order)
+    assert decay2["head"]["cls_gn0"]["GroupNorm_0"]["bias"] == 1e-3
+    assert decay2["head"]["cls_gn0"]["GroupNorm_0"]["scale"] == 0.0
+    assert lrf2["head"]["cls_tower0"]["bias"] == 2.0
+    assert lrf2["head"]["cls_tower0"]["kernel"] == 1.0
+
+    tx2 = build_optimizer(cfg2, params)
+    ones = jax.tree.map(jnp.ones_like, params)
+    up2, _ = tx2.update(ones, tx2.init(params), params)
+    # kernel: -lr * (g + wd*p) ; bias: -lr*2 * (g + wd_bias*p)
+    np.testing.assert_allclose(
+        np.asarray(up2["head"]["cls_tower0"]["kernel"]),
+        -lr * (1 + 1e-4) * np.ones((2, 2)), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(up2["head"]["cls_tower0"]["bias"]),
+        -lr * 2.0 * (1 + 1e-3) * np.ones((2,)), rtol=1e-6)

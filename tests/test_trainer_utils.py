@@ -65,3 +65,50 @@ def test_loader_corrupt_sample_retry():
     dl = TwoStreamDataLoader(cfg, dicts, dicts, seed=0, image_loader=loader_fn)
     batch = next(iter(dl))
     assert batch["images_label_k"].shape == (2, 64, 64, 3)
+
+
+def test_loader_drops_crowd_annotations():
+    """iscrowd != 0 objects must never become training gt (reference drops
+    them in the mapper, dataset_mapper.py:129) — but stay in dataset_dicts
+    so eval still sees them."""
+    from ubteacher_tpu.data.loader import TwoStreamDataLoader
+
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.TPU.CANVAS_LANDSCAPE = (64, 64)
+    cfg.TPU.CANVAS_PORTRAIT = (64, 64)
+    cfg.TPU.MAX_GT = 4
+    cfg.TPU.DATA_THREADS = 0
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.SOLVER.IMG_PER_BATCH_LABEL = 2
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = 2
+
+    img = np.random.default_rng(0).integers(0, 255, (48, 48, 3), dtype=np.uint8)
+    dicts = [
+        {"file_name": "x.png", "height": 48, "width": 48, "image_id": i,
+         "annotations": [
+             {"bbox": [4, 4, 20, 20], "category_id": 3, "iscrowd": 0},
+             {"bbox": [0, 0, 47, 47], "category_id": 7, "iscrowd": 1},
+         ]}
+        for i in range(4)
+    ]
+    dl = TwoStreamDataLoader(cfg, dicts, dicts, seed=0,
+                             image_loader=lambda _: img)
+    batch = next(iter(dl))
+    gt = batch["gt_label"]
+    # exactly one gt per image: the non-crowd box with its class
+    assert gt.mask.sum(axis=1).tolist() == [1, 1]
+    assert all(gt.classes[i, 0] == 3 for i in range(2))
+
+    # an image whose annotations are ALL crowd counts as empty for
+    # FILTER_EMPTY_ANNOTATIONS (D2 filter_images_with_only_crowd_annotations)
+    only_crowd = [
+        {"file_name": "x.png", "height": 48, "width": 48, "image_id": 9,
+         "annotations": [{"bbox": [0, 0, 47, 47], "category_id": 7,
+                          "iscrowd": 1}]}
+    ]
+    assert cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
+    dl2 = TwoStreamDataLoader(cfg, dicts + only_crowd, dicts, seed=0,
+                              image_loader=lambda _: img)
+    assert len(dl2.label_dicts) == 4

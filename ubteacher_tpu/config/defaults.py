@@ -160,7 +160,9 @@ def _detectron2_subset_defaults() -> CN:
     _C.SOLVER.IMS_PER_BATCH = 16
     _C.SOLVER.REFERENCE_WORLD_SIZE = 0
     _C.SOLVER.BIAS_LR_FACTOR = 1.0
-    _C.SOLVER.WEIGHT_DECAY_BIAS = 0.0001
+    # None = biases inherit their module's decay (D2 v0.6 default: norm
+    # biases get WEIGHT_DECAY_NORM, other biases WEIGHT_DECAY)
+    _C.SOLVER.WEIGHT_DECAY_BIAS = None
     _C.SOLVER.CLIP_GRADIENTS = CN()
     _C.SOLVER.CLIP_GRADIENTS.ENABLED = False
     _C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "value"

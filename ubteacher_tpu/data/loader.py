@@ -72,9 +72,12 @@ class TwoStreamDataLoader:
         image_loader=None,
     ):
         self.cfg = cfg
+        # D2 filter_images_with_only_crowd_annotations semantics: an image
+        # counts as empty unless it has at least one NON-crowd annotation
         self.label_dicts = [
             d for d in label_dicts
-            if not cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS or d["annotations"]
+            if not cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
+            or any(o.get("iscrowd", 0) == 0 for o in d["annotations"])
         ]
         self.unlabel_dicts = unlabel_dicts
         self.batch_label = cfg.SOLVER.IMG_PER_BATCH_LABEL
@@ -119,8 +122,12 @@ class TwoStreamDataLoader:
     def _prepare(self, d: Dict, rng: np.random.Generator) -> Dict:
         img = self._image_loader(d["file_name"])
         orient = "landscape" if img.shape[1] >= img.shape[0] else "portrait"
+        # crowd annotations are never training targets (reference drops
+        # iscrowd != 0 before building instances, dataset_mapper.py:129);
+        # eval still sees them — the evaluator reads dataset_dicts directly
+        annos = [o for o in d["annotations"] if o.get("iscrowd", 0) == 0]
         boxes = np.asarray(
-            [o["bbox"] for o in d["annotations"]], np.float32
+            [o["bbox"] for o in annos], np.float32
         ).reshape(-1, 4)
         rec = apply_weak_augment(
             img, boxes, self.canvases[orient], self.min_size, self.max_size,
@@ -128,7 +135,7 @@ class TwoStreamDataLoader:
         )
         objs = [
             {"bbox": rec["boxes"][i], "category_id": o["category_id"]}
-            for i, o in enumerate(d["annotations"])
+            for i, o in enumerate(annos)
             if rec["keep"][i]
         ]
         gt = _pad_gt(objs, self.max_gt)

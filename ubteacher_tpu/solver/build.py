@@ -12,7 +12,7 @@ expressed as an optax mask that zeroes their updates.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -112,11 +112,86 @@ def stop_frozen_gradients(params: Dict, freeze_at: int = 2) -> Dict:
     )
 
 
+def _is_norm_path(path: tuple) -> bool:
+    """True for params of normalization modules: FCOS-head GroupNorm
+    (`*_gn{i}` wrapping flax `GroupNorm_*`) and FrozenBN (`*_norm`, frozen
+    anyway — D2 never even hands them to the optimizer)."""
+    joined = "/".join(path)
+    return "GroupNorm" in joined or "_gn" in joined or "_norm" in joined
+
+
+def optimizer_hyperparams(cfg, params: Dict) -> Tuple[Dict, Dict]:
+    """Per-leaf (weight_decay, lr_factor) trees replicating D2's
+    get_default_optimizer_params as the reference consumes it (reference:
+    engine/trainer.py:46 -> detectron2 solver.build_optimizer):
+
+      * norm-module params (GroupNorm scale AND bias): WEIGHT_DECAY_NORM
+        (0.0 by default — the reference never decays GN affine params);
+      * leaves named `bias`: lr x BIAS_LR_FACTOR (only when != 1.0) and
+        weight_decay = WEIGHT_DECAY_BIAS when not None — the bias override
+        is applied AFTER the norm rule (D2's `hyperparams.update(overrides)`
+        ordering), so with WEIGHT_DECAY_BIAS set, a GN bias gets it;
+      * everything else: flat SOLVER.WEIGHT_DECAY, lr factor 1.
+    """
+    wd = cfg.SOLVER.WEIGHT_DECAY
+    wd_norm = cfg.SOLVER.WEIGHT_DECAY_NORM
+    wd_bias = cfg.SOLVER.WEIGHT_DECAY_BIAS  # None -> inherit module rule
+    bias_lr = cfg.SOLVER.BIAS_LR_FACTOR
+
+    def walk(node, path, fn):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,), fn) for k, v in node.items()}
+        return fn(path)
+
+    def decay_of(path):
+        d = wd_norm if _is_norm_path(path) else wd
+        if path[-1] == "bias" and wd_bias is not None:
+            d = wd_bias
+        return float(d)
+
+    def lr_of(path):
+        return float(bias_lr) if path[-1] == "bias" else 1.0
+
+    return walk(params, (), decay_of), walk(params, (), lr_of)
+
+
+def _add_decayed_weights_per_leaf(decay_tree: Dict, mask: Dict):
+    """optax.add_decayed_weights with a per-leaf rate (masked to trainable)."""
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("per-leaf weight decay needs params")
+        updates = jax.tree.map(
+            lambda u, p, d, m: u + d * p if m and d != 0.0 else u,
+            updates, params, decay_tree, mask,
+        )
+        return updates, state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
+
+
+def _scale_per_leaf(factor_tree: Dict):
+    """Multiply final updates by a per-leaf factor (per-group LR: torch SGD
+    applies lr after momentum, so scaling the post-sgd update is exact)."""
+
+    def update_fn(updates, state, params=None):
+        return (
+            jax.tree.map(
+                lambda u, f: u * f if f != 1.0 else u, updates, factor_tree
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
+
+
 def build_optimizer(cfg, params: Dict) -> optax.GradientTransformation:
-    """SGD + momentum + weight decay with the D2 freezing mask and optional
-    gradient clipping. LR comes from build_lr_schedule."""
+    """SGD + momentum + D2 per-param-group weight decay / bias LR with the
+    D2 freezing mask and optional gradient clipping. LR comes from
+    build_lr_schedule."""
     schedule = build_lr_schedule(cfg)
     mask = trainable_mask(params, cfg.MODEL.BACKBONE.FREEZE_AT)
+    decay_tree, lr_tree = optimizer_hyperparams(cfg, params)
 
     chain = []
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
@@ -126,12 +201,12 @@ def build_optimizer(cfg, params: Dict) -> optax.GradientTransformation:
             chain.append(
                 optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
             )
-    if cfg.SOLVER.WEIGHT_DECAY > 0:
-        chain.append(
-            optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY, mask=mask)
-        )
+    if any(d != 0.0 for d in jax.tree.leaves(decay_tree)):
+        chain.append(_add_decayed_weights_per_leaf(decay_tree, mask))
     chain.append(optax.sgd(schedule, momentum=cfg.SOLVER.MOMENTUM,
                            nesterov=cfg.SOLVER.NESTEROV))
+    if any(f != 1.0 for f in jax.tree.leaves(lr_tree)):
+        chain.append(_scale_per_leaf(lr_tree))
     # zero updates for frozen params
     chain.append(
         optax.masked(
