@@ -255,6 +255,7 @@ def make_fcos_train_steps(
             unsup = fcos_pseudo_losses(
                 dense_u, cls_targets, reg_targets, fcfg,
                 ts_better=sem.TS_BETTER, ts_better_cert=sem.TS_BETTER_CERT,
+                consist_reg_loss=sem.CONSIST_REG_LOSS,
             )
             tbs = unsup.pop("teacher_better_student")
 

@@ -108,6 +108,27 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         )
         return pyramid, logits, deltas, anch, boxes, scores, mask
 
+    pseudo_reg_type = cfg.MODEL.ROI_BOX_HEAD.BBOX_PSEUDO_REG_LOSS_TYPE
+
+    def _pseudo_box_reg(boxes, gt_boxes, bdeltas, bstd, gt_loc_std, is_fg,
+                        valid):
+        """BBOX_PSEUDO_REG_LOSS_TYPE dispatch (reference:
+        fast_rcnn.py:534-566): 'tsbetter' = uncertainty-gated L1,
+        'smooth_l1' = plain fg smooth-L1 / total rows, else ValueError."""
+        if pseudo_reg_type == "tsbetter":
+            return box_reg_pseudo_loss_tsbetter(
+                boxes, gt_boxes, bdeltas, bstd, gt_loc_std, is_fg, valid,
+                roi_box2box, sem.TS_BETTER, sem.T_CERT,
+            )
+        if pseudo_reg_type == "smooth_l1":
+            return box_reg_loss_smooth_l1(
+                boxes, gt_boxes, bdeltas, is_fg, valid, roi_box2box,
+                cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+            )
+        raise ValueError(
+            f"Invalid bbox pseudo reg loss type '{pseudo_reg_type}'"
+        )
+
     def _supervised_branch(params, images, gt, rng, use_confidence: bool,
                            pseudo: bool, hw=None):
         """RPN + ROI losses for one branch (reference rcnn.py:23-68)."""
@@ -146,21 +167,29 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         # MODEL.ROI_HEADS.LOSS dispatch (reference: roi_heads.py:23-70
         # predictor selection); *_BoundaryVar variants share the cls loss
-        # with their plain counterparts
+        # with their plain counterparts — EXCEPT that the plain FocalLoss
+        # predictor weights the pseudo cls loss by teacher confidence
+        # (reference: fast_rcnn.py:1368-1371, 1398 — gt_confid exists only
+        # on pseudo-sampled proposals; the BoundaryVar variant never
+        # passes confid, fast_rcnn.py:925-936)
         if roi_cfg.LOSS.startswith("FocalLoss"):
+            confid = (
+                flat(sampled["gt_confid"])
+                if pseudo and roi_cfg.LOSS == "FocalLoss" else None
+            )
             loss_cls = focal_ce_loss(
-                flat(scores), flat(sampled["gt_classes"]), flat(sampled["valid"])
+                flat(scores), flat(sampled["gt_classes"]),
+                flat(sampled["valid"]), confid=confid,
             )
         else:  # CrossEntropy / CrossEntropy_BoundaryVar
             loss_cls = cross_entropy_loss(
                 flat(scores), flat(sampled["gt_classes"]), flat(sampled["valid"])
             )
         if pseudo:
-            loss_box = box_reg_pseudo_loss_tsbetter(
+            loss_box = _pseudo_box_reg(
                 flat(sampled["boxes"]), flat(sampled["gt_boxes"]),
                 flat(bdeltas), flat(bstd), flat(sampled["gt_loc_std"]),
                 flat(sampled["is_fg"]), flat(sampled["valid"]),
-                roi_box2box, sem.TS_BETTER, sem.T_CERT,
             )
         elif cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE == "nlloss":
             loss_box = box_reg_loss_nll(
@@ -261,34 +290,58 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
             )
 
         unsup = dict(rpn_unsup)
-        unsup["loss_cls"] = cls_fn(
-            flat(scores, un_sl), flat(sampled["gt_classes"], un_sl),
-            flat(sampled["valid"], un_sl),
-        )
-        unsup["loss_box_reg"] = box_reg_pseudo_loss_tsbetter(
+        if roi_cfg.LOSS == "FocalLoss":
+            # plain FocalLoss weights pseudo cls by teacher confidence
+            # (reference: fast_rcnn.py:1398); BoundaryVar does not
+            unsup["loss_cls"] = focal_ce_loss(
+                flat(scores, un_sl), flat(sampled["gt_classes"], un_sl),
+                flat(sampled["valid"], un_sl),
+                confid=flat(sampled["gt_confid"], un_sl),
+            )
+        else:
+            unsup["loss_cls"] = cls_fn(
+                flat(scores, un_sl), flat(sampled["gt_classes"], un_sl),
+                flat(sampled["valid"], un_sl),
+            )
+        unsup["loss_box_reg"] = _pseudo_box_reg(
             flat(sampled["boxes"], un_sl), flat(sampled["gt_boxes"], un_sl),
             flat(bdeltas, un_sl), flat(bstd, un_sl),
             flat(sampled["gt_loc_std"], un_sl), flat(sampled["is_fg"], un_sl),
-            flat(sampled["valid"], un_sl), roi_box2box,
-            sem.TS_BETTER, sem.T_CERT,
+            flat(sampled["valid"], un_sl),
         )
         return sup, unsup
+
+    # SEMISUPNET.USE_SUP_STRONG: "both" trains supervised on strong+weak
+    # labeled views; any other value on the weak view only — an RCNN-
+    # trainer-only knob (reference: trainer.py:800-803, 861-864)
+    sup_strong = sem.USE_SUP_STRONG == "both"
+
+    def _labeled_views(batch, label_q, label_hw):
+        if sup_strong:
+            images = jnp.concatenate([label_q, batch["images_label_k"]], 0)
+            gt = jax.tree.map(
+                lambda x: jnp.concatenate([x, x], 0), batch["gt_label"]
+            )
+            hw = jnp.concatenate([label_hw, label_hw], 0)
+        else:
+            images, gt, hw = batch["images_label_k"], batch["gt_label"], label_hw
+        return images, gt, hw
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def burnin_step(state: RCNNTrainState, batch: Dict[str, Any]):
         k_aug, k_branch = jax.random.split(batch["rng"])
-        label_q = strong_augment(batch["images_label_k"], k_aug)
+        label_q = (
+            strong_augment(batch["images_label_k"], k_aug) if sup_strong
+            else None
+        )
         label_hw = _hw_or_canvas(batch, "label_hw", batch["images_label_k"])
 
         def loss_fn(params):
             params = stop_frozen_gradients(params, cfg.MODEL.BACKBONE.FREEZE_AT)
-            images = jnp.concatenate([label_q, batch["images_label_k"]], 0)
-            gt2 = jax.tree.map(
-                lambda x: jnp.concatenate([x, x], 0), batch["gt_label"]
-            )
+            images, gt2, hw2 = _labeled_views(batch, label_q, label_hw)
             losses = _supervised_branch(
                 params, images, gt2, k_branch, use_confidence=False,
-                pseudo=False, hw=jnp.concatenate([label_hw, label_hw], 0),
+                pseudo=False, hw=hw2,
             )
             return sum(losses.values()), losses
 
@@ -331,16 +384,15 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         pseudo = _pseudo_from_detections(dets, sem.BBOX_THRESHOLD, max_pseudo)
 
         k_aug_l, k_aug_u, k_sup, k_unsup = jax.random.split(batch["rng"], 4)
-        label_q = strong_augment(batch["images_label_k"], k_aug_l)
+        label_q = (
+            strong_augment(batch["images_label_k"], k_aug_l) if sup_strong
+            else None
+        )
         unl_q = strong_augment(unl_k, k_aug_u)
 
         def loss_fn(params):
             params = stop_frozen_gradients(params, cfg.MODEL.BACKBONE.FREEZE_AT)
-            images_l = jnp.concatenate([label_q, batch["images_label_k"]], 0)
-            gt2 = jax.tree.map(
-                lambda x: jnp.concatenate([x, x], 0), batch["gt_label"]
-            )
-            hw_l2 = jnp.concatenate([label_hw, label_hw], 0)
+            images_l, gt2, hw_l2 = _labeled_views(batch, label_q, label_hw)
             if unl_q.shape[1:3] == images_l.shape[1:3]:
                 # ONE fused forward over labeled strong+weak AND unlabeled
                 # strong (single conv dispatch per layer at batch 3B, like

@@ -174,8 +174,15 @@ def focal_ce_loss(
     gamma: float = 1.5,
     confid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """FocalLoss on softmax CE (reference: fast_rcnn.py:1405-1429,
-    comput_focal_loss normalizes by total sample count 925-936)."""
+    """FocalLoss on softmax CE (reference: fast_rcnn.py:1405-1429).
+
+    Normalization: the reference divides by gt_classes.shape[0]
+    (fast_rcnn.py:934) — the number of proposals D2's subsampler actually
+    RETURNED, which is min(512, candidates) per image. `valid.sum()` is
+    exactly that count in padded form (invalid rows are empty sampler
+    slots, not reference rows), so dividing by it matches the reference on
+    proposal-starved images too; dividing by the padded row count would
+    under-weight them."""
     logp = jax.nn.log_softmax(scores, axis=-1)
     ce = -jnp.take_along_axis(logp, gt_classes[:, None], axis=-1)[:, 0]
     # XLA's fused log_softmax can round logp a few ulp POSITIVE for a

@@ -402,13 +402,16 @@ def fcos_pseudo_losses(
     cfg_fcos: Dict[str, Any],
     ts_better: float,
     ts_better_cert: float,
+    consist_reg_loss: str = "ts_locvar_better_nms_nll_l1",
 ) -> Dict[str, jnp.ndarray]:
     """Unsupervised (unlabeled-branch) losses.
 
     The cls pseudo-label set drives focal cls + centerness BCE; the reg
-    pseudo-label set drives the Listen2Student uncertainty-gated L1
-    (`ts_locvar_better_nms_nll_l1`). Replicates fcos_pseudo_losses
-    (reference: fcos_outputs.py:492-631).
+    pseudo-label set drives either the Listen2Student uncertainty-gated L1
+    (`consist_reg_loss == "ts_locvar_better_nms_nll_l1"`, the shipped
+    recipe) or the KL/NLL pseudo regression loss (any other value, incl.
+    the reference default "mse_loss_all_raw"). Replicates
+    fcos_pseudo_losses (reference: fcos_outputs.py:492-631).
     """
     num_classes = cfg_fcos["num_classes"]
 
@@ -432,24 +435,66 @@ def fcos_pseudo_losses(
         L.bce_with_logits(dense.ctrness, ctr_t) * pos_f
     ).sum() / num_pos_avg
     ctr_loss = jnp.where(pos_f.sum() > 0, ctr_loss, 0.0)
+    if cfg_fcos.get("unify_ctrcls", False):
+        # MODEL.FCOS.UNIFY_CTRCLS zeroes the pseudo ctr loss
+        # (reference: fcos_outputs.py:533-535)
+        ctr_loss = ctr_loss * 0.0
 
-    # ---- regression from the `reg` pseudo set: tsbetter gated L1 ----
+    # ---- regression from the `reg` pseudo set ----
     reg_pos = reg_targets.pos  # (B, L)
+    reg_pos_f = reg_pos.astype(jnp.float32)
     reg_pred = dense_reg_scalar(dense, cfg_fcos["reg_discrete"], cfg_fcos["reg_max"])
 
-    loc_conf_student = 1.0 - jax.nn.sigmoid(dense.reg_std)        # (B, L, 4)
-    loc_conf_teacher = 1.0 - jax.nn.sigmoid(reg_targets.boundary_vars)
-    select = (
-        (loc_conf_teacher > ts_better_cert)
-        & (loc_conf_teacher > loc_conf_student + ts_better)
-        & reg_pos[..., None]
-    )
-    select_f = select.astype(jnp.float32)
-    n_select = select_f.sum()
-    # F.smooth_l1_loss(beta=0) == L1, 'mean' over selected elements
-    # (reference: fcos_outputs.py:552-569)
-    l1 = jnp.abs(reg_pred - reg_targets.reg_targets) * select_f
-    reg_loss = jnp.where(n_select > 0, l1.sum() / jnp.maximum(n_select, 1.0), 0.0)
+    if not cfg_fcos["kl_loss"]:
+        # the reference's pseudo reg loss has no non-KL path
+        # (fcos_outputs.py:550-587 `else: raise ValueError`)
+        raise ValueError(
+            "FCOS pseudo regression loss requires MODEL.FCOS.KL_LOSS=True"
+        )
+
+    if consist_reg_loss == "ts_locvar_better_nms_nll_l1":
+        # Listen2Student uncertainty-gated L1 (reference:
+        # fcos_outputs.py:552-569)
+        loc_conf_student = 1.0 - jax.nn.sigmoid(dense.reg_std)        # (B, L, 4)
+        loc_conf_teacher = 1.0 - jax.nn.sigmoid(reg_targets.boundary_vars)
+        select = (
+            (loc_conf_teacher > ts_better_cert)
+            & (loc_conf_teacher > loc_conf_student + ts_better)
+            & reg_pos[..., None]
+        )
+        select_f = select.astype(jnp.float32)
+        n_select = select_f.sum()
+        # F.smooth_l1_loss(beta=0) == L1, 'mean' over selected elements
+        l1 = jnp.abs(reg_pred - reg_targets.reg_targets) * select_f
+        reg_loss = jnp.where(
+            n_select > 0, l1.sum() / jnp.maximum(n_select, 1.0), 0.0
+        )
+    else:
+        # every other SEMISUPNET.CONSIST_REG_LOSS value (incl. the default
+        # "mse_loss_all_raw") selects the KL/NLL pseudo regression loss with
+        # ctrness/loss_denorm computed from the REG pseudo set — weight
+        # applied ONCE here, unlike the supervised branch's double
+        # application (reference: fcos_outputs.py:571-585)
+        w = cfg_fcos["kl_loss_weight"]
+        safe_reg = jnp.where(reg_pos[..., None], reg_targets.reg_targets, 1.0)
+        ctr_reg = L.compute_ctrness_targets(safe_reg) * reg_pos_f
+        loss_denorm = jnp.maximum(ctr_reg.sum(), 1e-6)
+        iou_t = L.compute_iou_targets(jax.lax.stop_gradient(reg_pred), safe_reg)
+        if cfg_fcos["kl_loss_type"] == "nlloss":
+            unc = L.nl_loss(
+                reg_pred, dense.reg_std, safe_reg,
+                iou_weight=iou_t, valid=reg_pos_f,
+            )
+        elif cfg_fcos["kl_loss_type"] == "klloss":
+            unc = L.kl_loss(
+                reg_pred, dense.reg_std, safe_reg,
+                weight=ctr_reg, loss_denorm=loss_denorm,
+                method=cfg_fcos["loc_fun_all"], valid=reg_pos_f,
+            )
+        else:
+            raise ValueError(cfg_fcos["kl_loss_type"])
+        reg_loss = jnp.where(reg_pos_f.sum() > 0, w * unc, 0.0)
+        n_select = jnp.zeros((), jnp.float32)
 
     return {
         "loss_fcos_cls": class_loss,
@@ -508,6 +553,7 @@ def fcos_decode(
 
     cls_sig = jax.nn.sigmoid(dense.logits)   # (B, L, C)
     ctr_sig = jax.nn.sigmoid(dense.ctrness)  # (B, L)
+    thresh_with_ctr = bool(cfg_fcos.get("thresh_with_ctr", False))
     # cell origin per location, for per-image validity inside decode_one
     loc_x0 = grid["locations"][:, 0] - grid["strides"] * 0.5
     loc_y0 = grid["locations"][:, 1] - grid["strides"] * 0.5
@@ -520,8 +566,16 @@ def fcos_decode(
         # confident detection in the zero padding would otherwise survive
         # NMS and be clipped onto the image edge
         loc_valid = (loc_x0 < hw[1]) & (loc_y0 < hw[0])  # (L,)
+        if thresh_with_ctr:
+            # MODEL.FCOS.THRESH_WITH_CTR: cls scores are multiplied by
+            # centerness BEFORE the pre-NMS threshold, the nms_method
+            # scoring is skipped, and the carried cls_confid is the product
+            # (reference: fcos_outputs.py:1172-1196)
+            cls_s = cls_s * ctr_s[:, None]
+            scores = cls_s
+        else:
+            scores = _method_scores(cls_s, ctr_s, std, nms_method)
         cand = (cls_s > pre_nms_thresh) & loc_valid[:, None]
-        scores = _method_scores(cls_s, ctr_s, std, nms_method)
         masked = jnp.where(cand, scores, -1.0)
 
         # per-level top-k over (len_l * C) candidates, two-stage and exact:
@@ -652,4 +706,6 @@ def fcos_loss_config(cfg) -> Dict[str, Any]:
         "loc_fun_all": f.LOC_FUN_ALL,
         "center_sample": f.CENTER_SAMPLE,
         "pos_radius": f.POS_RADIUS,
+        "thresh_with_ctr": f.THRESH_WITH_CTR,
+        "unify_ctrcls": f.UNIFY_CTRCLS,
     }
