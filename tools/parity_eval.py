@@ -34,28 +34,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def load_state_dict(path: str):
     """-> dict[str, np.ndarray] with torch tensors materialized."""
-    import numpy as np
+    from ubteacher_tpu.checkpoint.torch_weights import load_torch_state_dict
 
-    if path.endswith((".pth", ".pt")):
-        import torch
-
-        raw = torch.load(path, map_location="cpu", weights_only=False)
-        if isinstance(raw, dict) and "model" in raw:
-            raw = raw["model"]
-        if hasattr(raw, "state_dict"):
-            raw = raw.state_dict()
-        return {
-            k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
-            for k, v in raw.items()
-            if hasattr(v, "shape")
-        }
-    import pickle
-
-    with open(path, "rb") as f:
-        raw = pickle.load(f, encoding="latin1")
-    if isinstance(raw, dict) and "model" in raw:
-        raw = raw["model"]
-    return {k: np.asarray(v) for k, v in raw.items() if hasattr(v, "shape")}
+    return load_torch_state_dict(path)
 
 
 def main(argv=None):
@@ -131,20 +112,12 @@ def main(argv=None):
     # validate converted tree against a freshly initialized one (shapes)
     import jax.numpy as jnp
 
+    from ubteacher_tpu.checkpoint.torch_weights import cast_like
+
     init = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
     )["params"]
-    flat_c = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
-    flat_i = dict(jax.tree_util.tree_flatten_with_path(init)[0])
-    missing = [str(p) for p in flat_i if p not in flat_c]
-    if missing:
-        raise SystemExit(f"converter missed params: {missing[:8]}")
-    params = jax.tree_util.tree_map_with_path(
-        lambda p, leaf: jnp.asarray(np.asarray(flat_c[p]), leaf.dtype).reshape(
-            leaf.shape
-        ),
-        init,
-    )
+    params = jax.tree.map(jnp.asarray, cast_like(converted, init))
 
     root = args.coco_root or "datasets/coco"
     ann = os.path.join(root, f"annotations/instances_{args.split}.json")

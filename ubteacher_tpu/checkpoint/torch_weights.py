@@ -314,3 +314,46 @@ def load_pretrained_backbone(params: Dict, weights_path: str, depth: int = 50) -
             backbone[k],
         )
     return params
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference checkpoint from disk -> {name: np.ndarray}.
+
+    Accepts torch .pth/.pt (optionally wrapped as {"model": sd}, e.g. a
+    DetectionTSCheckpointer save) and pickle .pkl files (D2 weight zoo
+    format). Mirrors the formats DetectionTSCheckpointer consumes
+    (reference: checkpoint/detection_checkpoint.py:10-89)."""
+    if path.endswith((".pth", ".pt")):
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(raw, dict) and "model" in raw:
+            raw = raw["model"]
+        if hasattr(raw, "state_dict"):
+            raw = raw.state_dict()
+        return {
+            k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+            for k, v in raw.items()
+            if hasattr(v, "shape")
+        }
+    with open(path, "rb") as f:
+        raw = pickle.load(f, encoding="latin1")
+    if isinstance(raw, dict) and "model" in raw:
+        raw = raw["model"]
+    return {k: np.asarray(v) for k, v in raw.items() if hasattr(v, "shape")}
+
+
+def cast_like(converted: Dict, init: Dict) -> Dict:
+    """Reshape/cast a converted param tree onto the dtypes and shapes of an
+    initialized one, asserting every init leaf is covered."""
+    import jax
+
+    flat_c = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
+    flat_i = dict(jax.tree_util.tree_flatten_with_path(init)[0])
+    missing = [str(p) for p in flat_i if p not in flat_c]
+    if missing:
+        raise ValueError(f"converter missed params: {missing[:8]}")
+    return jax.tree_util.tree_map_with_path(
+        lambda p, leaf: np.asarray(flat_c[p], leaf.dtype).reshape(leaf.shape),
+        init,
+    )

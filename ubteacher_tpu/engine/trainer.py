@@ -144,12 +144,14 @@ class UBTeacherTrainer:
         params = self.model.init(jax.random.PRNGKey(max(cfg.SEED, 0)), dummy)[
             "params"
         ]
-        if cfg.MODEL.WEIGHTS and os.path.isfile(cfg.MODEL.WEIGHTS):
+        is_torch_full = cfg.MODEL.WEIGHTS.endswith((".pth", ".pt"))
+        if (cfg.MODEL.WEIGHTS and os.path.isfile(cfg.MODEL.WEIGHTS)
+                and not is_torch_full):
             logger.info("loading pretrained backbone from %s", cfg.MODEL.WEIGHTS)
             params = load_pretrained_backbone(
                 params, cfg.MODEL.WEIGHTS, cfg.MODEL.RESNETS.DEPTH
             )
-        elif cfg.MODEL.WEIGHTS:
+        elif cfg.MODEL.WEIGHTS and not is_torch_full:
             logger.warning(
                 "MODEL.WEIGHTS=%s not found on disk; training from scratch",
                 cfg.MODEL.WEIGHTS,
@@ -195,6 +197,47 @@ class UBTeacherTrainer:
         self.start_iter = int(jax.device_get(self.state.step))
         if resume and self.start_iter > 0:
             logger.info("resumed at iteration %d", self.start_iter)
+            return
+        w = self.cfg.MODEL.WEIGHTS
+        if w and w.endswith((".pth", ".pt")):
+            if not os.path.isfile(w):
+                raise FileNotFoundError(f"MODEL.WEIGHTS not found: {w}")
+            self._load_torch_checkpoint(w)
+
+    def _load_torch_checkpoint(self, path: str) -> None:
+        """MODEL.WEIGHTS pointing at a torch checkpoint loads through the
+        converters: an EnsembleTSModel checkpoint fills BOTH teacher and
+        student; a bare detector state dict fills the student only, like
+        DetectionTSCheckpointer (reference: train_net.py:37-51,
+        checkpoint/detection_checkpoint.py:10-89). This is the CLI surface
+        `train_net.py --eval-only MODEL.WEIGHTS x.pth` of the reference."""
+        from ..checkpoint.torch_weights import (
+            cast_like,
+            load_torch_state_dict,
+            split_ensemble_state,
+        )
+
+        sd = load_torch_state_dict(path)
+        parts = split_ensemble_state(sd)
+        init = jax.device_get(self.state.student)
+        convert = self._torch_converter()
+        updates = {}
+        if parts["teacher"] or parts["student"]:
+            for name in ("teacher", "student"):
+                if parts[name]:
+                    updates[name] = cast_like(convert(parts[name]), init)
+                    logger.info("loaded %s weights from %s", name, path)
+                else:
+                    logger.warning("checkpoint has no %s weights", name)
+        else:
+            updates["student"] = cast_like(convert(sd), init)
+            logger.info(
+                "loaded bare detector state dict into the student from %s",
+                path,
+            )
+        self.state = jax.device_put(
+            self.state.replace(**updates), replicate(self.mesh)
+        )
 
     def train(self) -> None:
         import time
@@ -308,6 +351,12 @@ class UBTeacherTrainer:
     def _build_model(self, cfg):
         return build_one_stage_detector(cfg)
 
+    def _torch_converter(self):
+        from ..checkpoint.torch_weights import convert_ubt_fcos_model
+
+        depth = self.cfg.MODEL.RESNETS.DEPTH
+        return lambda sd: convert_ubt_fcos_model(sd, depth)
+
     def _make_steps(self, cfg, model, tx):
         return make_fcos_train_steps(cfg, model, tx)
 
@@ -352,3 +401,10 @@ class UBRCNNTeacherTrainer(UBTeacherTrainer):
 
     def _num_classes(self):
         return self.cfg.MODEL.ROI_HEADS.NUM_CLASSES
+
+    def _torch_converter(self):
+        from ..checkpoint.torch_weights import convert_ubt_rcnn_model
+
+        depth = self.cfg.MODEL.RESNETS.DEPTH
+        pooler = self.cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
+        return lambda sd: convert_ubt_rcnn_model(sd, depth, pooler)
