@@ -197,3 +197,64 @@ def test_eval_only_torch_checkpoint(tmp_path, monkeypatch):
     )
     results = trainer.test(model="teacher")
     assert "AP" in results
+
+
+def test_vis_period_writes_panel_artifacts(tmp_path, monkeypatch):
+    """VIS_PERIOD must write labeled (gt | student pred) and, in the mutual
+    phase, unlabeled (pseudo-cls | pseudo-reg | student pred) panel images
+    (reference: one_stage_detector.py:242-321)."""
+    import cv2
+
+    root = tmp_path / "coco"
+    _write_coco_root(root)
+    seed_path = tmp_path / "seed.txt"
+    generate_supervision_seed_file(
+        str(seed_path), num_images=8, percents=(50.0,), seeds=1
+    )
+    monkeypatch.setenv("COCO_ROOT", str(root))
+    out_dir = tmp_path / "out"
+
+    opts = [
+        "MODEL.RESNETS.DEPTH", "18",
+        "MODEL.FCOS.NUM_CLASSES", "1",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "TPU.CANVAS_LANDSCAPE", "(128, 128)",
+        "TPU.CANVAS_PORTRAIT", "(128, 128)",
+        "TPU.TEST_CANVAS", "(128, 128)",
+        "TPU.MAX_GT", "8",
+        "TPU.MAX_PSEUDO", "20",
+        "TPU.NMS_CANDIDATES", "100",
+        "TPU.DATA_THREADS", "0",
+        "INPUT.MIN_SIZE_TRAIN", "(96,)",
+        "INPUT.MIN_SIZE_TRAIN_SAMPLING", "choice",
+        "INPUT.MAX_SIZE_TRAIN", "128",
+        "SOLVER.IMG_PER_BATCH_LABEL", "2",
+        "SOLVER.IMG_PER_BATCH_UNLABEL", "2",
+        "SOLVER.MAX_ITER", "2",
+        "SOLVER.BASE_LR", "0.001",
+        "SEMISUPNET.BURN_UP_STEP", "1",
+        "TEST.EVAL_PERIOD", "0",
+        "VIS_PERIOD", "1",
+        "DATALOADER.SUP_PERCENT", "50.0",
+        "DATALOADER.RANDOM_DATA_SEED", "0",
+        "DATALOADER.RANDOM_DATA_SEED_PATH", str(seed_path),
+        "MODEL.WEIGHTS", "",
+        "OUTPUT_DIR", str(out_dir),
+    ]
+    parser = train_net.default_argument_parser()
+    args = parser.parse_args(
+        ["--config", "configs/FCOS/coco-standard/fcos_R_50_ut2_sup1_run0.yaml"]
+        + opts
+    )
+    train_net.main(args)
+
+    vis = out_dir / "vis"
+    labeled = sorted(vis.glob("*_labeled.png"))
+    unlabeled = sorted(vis.glob("*_unlabeled.png"))
+    assert labeled, list(vis.iterdir())
+    assert unlabeled, list(vis.iterdir())  # step 2 is mutual
+    img_l = cv2.imread(str(labeled[0]))
+    assert img_l.shape == (128, 2 * 128, 3)  # gt | student pred
+    img_u = cv2.imread(str(unlabeled[0]))
+    # pseudo-cls | pseudo-reg | student pred
+    assert img_u.shape == (128, 3 * 128, 3)

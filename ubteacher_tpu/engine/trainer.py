@@ -296,15 +296,7 @@ class UBTeacherTrainer:
             host_metrics["data_time"] = data_time
             self.storage.put_scalars(**host_metrics)
             if cfg.VIS_PERIOD and (it + 1) % cfg.VIS_PERIOD == 0:
-                from ..utils.visualizer import save_training_visualization
-
-                gt = batch["gt_label"]
-                save_training_visualization(
-                    cfg.OUTPUT_DIR, it + 1,
-                    np.asarray(jax.device_get(batch["images_label_k"][0])),
-                    np.asarray(jax.device_get(gt.boxes[0])),
-                    np.asarray(jax.device_get(gt.mask[0])),
-                )
+                self._save_visualization(it + 1, batch, mutual=it >= burn_up)
             self.storage.step()
             nxt = it + 1
             if nxt % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or nxt == self.max_iter:
@@ -318,6 +310,102 @@ class UBTeacherTrainer:
         self.storage.close()
         if cfg.TEST.EXPECTED_RESULTS:
             verify_results(cfg, self.test(model="teacher"))
+
+    def _save_visualization(self, iteration: int, batch, mutual: bool) -> None:
+        """Training visualization with reference parity
+        (one_stage_detector.py:242-321): labeled = gt | student
+        predictions; unlabeled (mutual phase) = teacher pseudo-cls |
+        pseudo-reg | student predictions. First image of each stream."""
+        if not self.is_main_process:
+            return
+        from ..utils.visualizer import save_training_panels
+
+        def first(x):
+            return np.asarray(jax.device_get(x))[:1]
+
+        img_l = first(batch["images_label_k"])
+        hw_l = (
+            first(batch["label_hw"]) if "label_hw" in batch
+            else np.asarray([[img_l.shape[1], img_l.shape[2]]], np.float32)
+        )
+        gt = jax.device_get(batch["gt_label"])
+        panels = [{
+            "title": "gt",
+            "image": img_l[0],
+            "boxes": np.asarray(gt.boxes)[0],
+            "mask": np.asarray(gt.mask)[0],
+            "classes": np.asarray(gt.classes)[0],
+        }]
+        pred = self._vis_predictions(self.state.student, img_l, hw_l)
+        if pred is not None:
+            panels.append(dict(pred, title="student pred", image=img_l[0]))
+        save_training_panels(self.cfg.OUTPUT_DIR, iteration, "labeled", panels)
+
+        if not mutual:
+            return
+        img_u = first(batch["images_unlabel_k"])
+        hw_u = (
+            first(batch["unlabel_hw"]) if "unlabel_hw" in batch
+            else np.asarray([[img_u.shape[1], img_u.shape[2]]], np.float32)
+        )
+        upanels = []
+        for title, p in self._vis_pseudo_sets(self.state.teacher, img_u, hw_u):
+            upanels.append(dict(p, title=title, image=img_u[0]))
+        pred_u = self._vis_predictions(self.state.student, img_u, hw_u)
+        if pred_u is not None:
+            upanels.append(dict(pred_u, title="student pred", image=img_u[0]))
+        if upanels:
+            save_training_panels(
+                self.cfg.OUTPUT_DIR, iteration, "unlabeled", upanels
+            )
+
+    def _vis_predictions(self, params, images, hw):
+        """-> panel dict of the model's detections on `images` (B=1)."""
+        dets = jax.device_get(self._vis_infer_fn()(
+            params, jnp.asarray(images), jnp.asarray(hw)
+        ))
+        return {
+            "boxes": np.asarray(dets.boxes)[0],
+            "mask": np.asarray(dets.mask)[0],
+            "classes": np.asarray(dets.classes)[0],
+            "scores": np.asarray(dets.scores)[0],
+        }
+
+    def _vis_pseudo_sets(self, teacher_params, images, hw):
+        """-> [(title, panel dict)] of thresholded teacher pseudo boxes."""
+        f = self.cfg.MODEL.FCOS
+        out = []
+        for title, method in (
+            ("pseudo-cls", f.NMS_CRITERIA_TRAIN),
+            ("pseudo-reg", f.NMS_CRITERIA_REG_TRAIN),
+        ):
+            dets = jax.device_get(self._vis_infer_fn(method)(
+                teacher_params, jnp.asarray(images), jnp.asarray(hw)
+            ))
+            keep = np.asarray(dets.mask)[0] & (
+                np.asarray(dets.scores)[0] > self.cfg.SEMISUPNET.BBOX_THRESHOLD
+            )
+            out.append((title, {
+                "boxes": np.asarray(dets.boxes)[0],
+                "mask": keep,
+                "classes": np.asarray(dets.classes)[0],
+                "scores": np.asarray(dets.scores)[0],
+            }))
+        return out
+
+    def _vis_infer_fn(self, method: str | None = None):
+        """Cached jitted decode at train-time thresholds (per nms method)."""
+        from ..evaluation.evaluator import make_fcos_inference_fn
+
+        cache = getattr(self, "_vis_fns", None)
+        if cache is None:
+            cache = self._vis_fns = {}
+        key = method or self.cfg.MODEL.FCOS.NMS_CRITERIA_TRAIN
+        if key not in cache:
+            cache[key] = make_fcos_inference_fn(
+                self.cfg, self.model, key, train=True
+            )
+        return cache[key]
 
     def _eval_and_log(self) -> None:
         results = self.test(model="teacher")
@@ -408,3 +496,27 @@ class UBRCNNTeacherTrainer(UBTeacherTrainer):
         depth = self.cfg.MODEL.RESNETS.DEPTH
         pooler = self.cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
         return lambda sd: convert_ubt_rcnn_model(sd, depth, pooler)
+
+    def _vis_infer_fn(self, method: str | None = None):
+        # nms-criteria variants are FCOS-only; RCNN uses stock inference
+        if getattr(self, "_vis_fn_rcnn", None) is None:
+            from .rcnn_trainer import make_rcnn_inference_fn
+
+            self._vis_fn_rcnn = make_rcnn_inference_fn(self.cfg, self.model)
+        return self._vis_fn_rcnn
+
+    def _vis_pseudo_sets(self, teacher_params, images, hw):
+        """RCNN pseudo labels are a single score-thresholded set
+        (reference: trainer.py:727-769)."""
+        dets = jax.device_get(self._vis_infer_fn()(
+            teacher_params, jnp.asarray(images), jnp.asarray(hw)
+        ))
+        keep = np.asarray(dets.mask)[0] & (
+            np.asarray(dets.scores)[0] > self.cfg.SEMISUPNET.BBOX_THRESHOLD
+        )
+        return [("pseudo", {
+            "boxes": np.asarray(dets.boxes)[0],
+            "mask": keep,
+            "classes": np.asarray(dets.classes)[0],
+            "scores": np.asarray(dets.scores)[0],
+        })]

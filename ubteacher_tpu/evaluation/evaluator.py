@@ -25,8 +25,15 @@ from ..modeling.fcos_outputs import (
 from .coco_eval import COCOBboxEvaluator
 
 
-def make_fcos_inference_fn(cfg, model, nms_method: str | None = None) -> Callable:
-    """Returns jitted fn: (params, images (B,H,W,3), hw (B,2)) -> Detections."""
+def make_fcos_inference_fn(
+    cfg, model, nms_method: str | None = None, train: bool = False
+) -> Callable:
+    """Returns jitted fn: (params, images (B,H,W,3), hw (B,2)) -> Detections.
+
+    `train=True` uses the train-time decode thresholds
+    (INFERENCE_TH_TRAIN / *_TOPK_TRAIN) — the settings the teacher's
+    pseudo-label decode runs with inside the mutual step; used by the
+    training visualization."""
     fcfg = fcos_loss_config(cfg)
     strides = list(cfg.MODEL.FCOS.FPN_STRIDES)
     f = cfg.MODEL.FCOS
@@ -41,9 +48,9 @@ def make_fcos_inference_fn(cfg, model, nms_method: str | None = None) -> Callabl
         return fcos_decode(
             dense, grid, lengths, hw, fcfg,
             nms_method=method,
-            pre_nms_thresh=f.INFERENCE_TH_TEST,
-            pre_nms_topk=f.PRE_NMS_TOPK_TEST,
-            post_nms_topk=f.POST_NMS_TOPK_TEST,
+            pre_nms_thresh=f.INFERENCE_TH_TRAIN if train else f.INFERENCE_TH_TEST,
+            pre_nms_topk=f.PRE_NMS_TOPK_TRAIN if train else f.PRE_NMS_TOPK_TEST,
+            post_nms_topk=f.POST_NMS_TOPK_TRAIN if train else f.POST_NMS_TOPK_TEST,
             nms_thresh=f.NMS_TH,
             total_candidates=cfg.TPU.NMS_CANDIDATES,
         )

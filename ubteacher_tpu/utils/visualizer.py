@@ -64,3 +64,36 @@ def save_training_visualization(
     path = os.path.join(vis_dir, f"iter_{iteration:07d}.png")
     cv2.imwrite(path, img)
     return path
+
+
+def save_training_panels(
+    output_dir: str,
+    iteration: int,
+    name: str,
+    panels: Sequence[dict],
+) -> str:
+    """Side-by-side panels like the reference's visualize_training
+    (one_stage_detector.py:242-321: labeled = gt | predictions; unlabeled =
+    pseudo-cls | pseudo-reg | predictions).
+
+    Each panel dict: {"title", "image" (H, W, 3) BGR, "boxes" (N, 4) xyxy,
+    optional "mask", "classes", "scores"}. Returns the written path.
+    """
+    import cv2
+
+    vis_dir = os.path.join(output_dir, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    imgs = []
+    for p in panels:
+        img = draw_boxes(
+            p["image"], p["boxes"],
+            classes=p.get("classes"), scores=p.get("scores"),
+            mask=p.get("mask"), thickness=2,
+        )
+        cv2.putText(img, p.get("title", ""), (4, 14),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1)
+        imgs.append(img)
+    vis = np.concatenate(imgs, axis=1)
+    path = os.path.join(vis_dir, f"iter_{iteration:07d}_{name}.png")
+    cv2.imwrite(path, vis)
+    return path
