@@ -222,24 +222,54 @@ def test_fcos_mutual_sharded_matches_unsharded():
     for _ in range(40):
         state, _ = burnin(state, batch)
     trained = jax.device_get(state.student)
+    # make the fixture teacher LOCALIZATION-confident too: the std head
+    # trains at KLLOSS_WEIGHT^2 (0.0025) and after 40 steps loc_conf is
+    # still ~0.25, so the cls_n_loc reg criteria would never clear
+    # BBOX_THRESHOLD_REG (the ADVICE r2 finding: num_pseudo_reg stayed 0
+    # and the tight pseudo-loc tolerance was vacuous). Setting the std
+    # bias to -4 (sigma ~ 0.018, loc_conf ~ 0.982) puts reg scores at
+    # sqrt(cls * 0.98) >> 0.5 with margin, so the reg pseudo set is
+    # non-empty and identical on both shardings by construction.
+    teacher_tree = jax.tree.map(np.asarray, trained)
+    teacher_tree["head"] = dict(teacher_tree["head"])
+    teacher_tree["head"]["bbox_pred_std"] = {
+        "kernel": teacher_tree["head"]["bbox_pred_std"]["kernel"],
+        "bias": np.full_like(
+            np.asarray(trained["head"]["bbox_pred_std"]["bias"]), -4.0
+        ),
+    }
+    # ...while the STUDENT keeps its near-zero std bias (loc_conf ~ 0.5):
+    # teacher conf 0.98 > student conf + TS_BETTER, so the tsbetter gate
+    # SELECTS and loss_fcos_loc_pseudo is exercised at a nonzero value.
+    # state.step=1 (> BURN_UP_STEP=0) so the EMA keeps the teacher distinct
+    # instead of the boundary copy overwriting it with the student.
+    def make_state():
+        s = FCOSTrainState.create(jax.tree.map(jnp.asarray, trained), tx)
+        return s.replace(
+            teacher=jax.tree.map(jnp.asarray, teacher_tree),
+            step=jnp.ones((), jnp.int32),
+        )
 
-    # fresh states with teacher == trained student (create() copies params
-    # into the teacher slot); the steps donate state, so two sets of buffers
-    state1 = FCOSTrainState.create(jax.tree.map(jnp.asarray, trained), tx)
+    state1 = make_state()
     _, m_un = mutual(state1, batch)
     m1 = {k: float(v) for k, v in jax.device_get(m_un).items()}
 
     mesh = get_mesh(8)
-    state2 = FCOSTrainState.create(jax.tree.map(jnp.asarray, trained), tx)
-    state2 = jax.device_put(state2, replicate(mesh))
+    state2 = jax.device_put(make_state(), replicate(mesh))
     _, m_sh = mutual(state2, shard_batch(batch, mesh))
     m2 = {k: float(v) for k, v in jax.device_get(m_sh).items()}
 
     # the pseudo path must actually be exercised, with the same set on
     # both shardings — otherwise the tight tolerances below prove nothing
     assert m1["num_pseudo_cls"] >= 1, m1
+    # the overfit teacher must clear the REG threshold too, otherwise the
+    # tight tolerance on loss_fcos_loc_pseudo is vacuous (zero == zero)
+    assert m1["num_pseudo_reg"] >= 1, m1
     assert m1["num_pseudo_cls"] == m2["num_pseudo_cls"]
     assert m1["num_pseudo_reg"] == m2["num_pseudo_reg"]
+    # ...and the gated L1 itself must fire (teacher conf >> student conf)
+    assert m1["teacher_better_student"] >= 1, m1
+    assert m1["loss_fcos_loc_pseudo"] > 0, m1
 
     # confident teacher -> no threshold flips -> pseudo losses hold to
     # near-supervised tolerance (the residual is conv-scheduling ulps
