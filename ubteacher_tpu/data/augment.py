@@ -80,6 +80,98 @@ def random_crop_params(
     return y0, x0, crop_h, crop_w
 
 
+def weak_augment_geometry(
+    h: int,
+    w: int,
+    boxes: np.ndarray,  # (M, 4) xyxy
+    canvas_hw,  # (h, w) or list of (h, w) candidates (scale buckets)
+    min_size,
+    max_size: int,
+    sampling: str,
+    rng: np.random.Generator,
+    flip: bool = True,
+    crop=None,  # (crop_type, crop_size) to enable INPUT.CROP
+) -> Dict:
+    """The rng draws + box math of `apply_weak_augment`, WITHOUT pixels.
+
+    Every random draw the weak augmentation makes depends only on the image
+    dimensions (crop window, resize jitter, flip coin) — never on pixel
+    content. Splitting the geometry out lets multi-host loaders replay the
+    same draw sequence from COCO metadata (width/height) on every process
+    while only the row's owner decodes the JPEG (parallel/mesh.py
+    shard_batch ships just the owned rows).
+
+    Returns a geometry record consumed by `materialize_weak_augment`:
+    crop window, resized (new_h, new_w), chosen canvas, flip flag,
+    transformed boxes, keep mask, true hw.
+    """
+    keep = np.ones((len(boxes),), bool)
+    crop_win = None
+    if crop is not None:
+        y0, x0, crop_h, crop_w = random_crop_params(h, w, crop[0], crop[1], rng)
+        crop_win = (y0, x0, crop_h, crop_w)
+        h, w = crop_h, crop_w
+        if len(boxes):
+            boxes = boxes.astype(np.float32).copy()
+            boxes[:, [0, 2]] = (boxes[:, [0, 2]] - x0).clip(0, crop_w)
+            boxes[:, [1, 3]] = (boxes[:, [1, 3]] - y0).clip(0, crop_h)
+            keep = (boxes[:, 2] - boxes[:, 0] > 1e-5) & (
+                boxes[:, 3] - boxes[:, 1] > 1e-5
+            )
+    new_h, new_w = resize_shortest_edge_params(h, w, min_size, max_size, sampling, rng)
+    if isinstance(canvas_hw[0], (tuple, list)):
+        candidates = sorted(canvas_hw, key=lambda c: c[0] * c[1])
+        canvas_hw = candidates[-1]
+        for c in candidates:
+            if new_h <= c[0] and new_w <= c[1]:
+                canvas_hw = tuple(c)
+                break
+    # additionally fit into the fixed canvas (TPU fixed-shape policy)
+    ch, cw = canvas_hw
+    if new_h > ch or new_w > cw:
+        s = min(ch / new_h, cw / new_w)
+        new_h, new_w = int(new_h * s), int(new_w * s)
+    sx, sy = new_w / w, new_h / h
+    out_boxes = boxes.astype(np.float32).copy()
+    if len(out_boxes):
+        out_boxes[:, [0, 2]] *= sx
+        out_boxes[:, [1, 3]] *= sy
+
+    do_flip = flip and rng.random() < 0.5
+    if do_flip and len(out_boxes):
+        x1 = new_w - out_boxes[:, 2]
+        x2 = new_w - out_boxes[:, 0]
+        out_boxes[:, 0], out_boxes[:, 2] = x1, x2
+
+    return {
+        "crop": crop_win,
+        "new_hw": (new_h, new_w),
+        "boxes": out_boxes,
+        "hw": np.asarray([new_h, new_w], np.float32),
+        "canvas": (ch, cw),
+        "keep": keep,
+        "flip": do_flip,
+    }
+
+
+def materialize_weak_augment(image: np.ndarray, geom: Dict) -> np.ndarray:
+    """Apply a `weak_augment_geometry` record to pixels: crop, resize,
+    flip, pad to the chosen canvas. Returns the (ch, cw, 3) float32 image."""
+    import cv2
+
+    if geom["crop"] is not None:
+        y0, x0, crop_h, crop_w = geom["crop"]
+        image = image[y0 : y0 + crop_h, x0 : x0 + crop_w]
+    new_h, new_w = geom["new_hw"]
+    resized = cv2.resize(image, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    if geom["flip"]:
+        resized = resized[:, ::-1]
+    ch, cw = geom["canvas"]
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:new_h, :new_w] = resized.astype(np.float32)
+    return canvas
+
+
 def apply_weak_augment(
     image: np.ndarray,  # (H, W, 3) uint8, BGR
     boxes: np.ndarray,  # (M, 4) xyxy
@@ -106,57 +198,16 @@ def apply_weak_augment(
     and the returned `keep` marks boxes that survive with positive extent
     (D2 filter_empty_instances).
     """
-    import cv2
-
-    h, w = image.shape[:2]
-    keep = np.ones((len(boxes),), bool)
-    if crop is not None:
-        y0, x0, crop_h, crop_w = random_crop_params(h, w, crop[0], crop[1], rng)
-        image = image[y0 : y0 + crop_h, x0 : x0 + crop_w]
-        h, w = crop_h, crop_w
-        if len(boxes):
-            boxes = boxes.astype(np.float32).copy()
-            boxes[:, [0, 2]] = (boxes[:, [0, 2]] - x0).clip(0, crop_w)
-            boxes[:, [1, 3]] = (boxes[:, [1, 3]] - y0).clip(0, crop_h)
-            keep = (boxes[:, 2] - boxes[:, 0] > 1e-5) & (
-                boxes[:, 3] - boxes[:, 1] > 1e-5
-            )
-    new_h, new_w = resize_shortest_edge_params(h, w, min_size, max_size, sampling, rng)
-    if isinstance(canvas_hw[0], (tuple, list)):
-        candidates = sorted(canvas_hw, key=lambda c: c[0] * c[1])
-        canvas_hw = candidates[-1]
-        for c in candidates:
-            if new_h <= c[0] and new_w <= c[1]:
-                canvas_hw = tuple(c)
-                break
-    # additionally fit into the fixed canvas (TPU fixed-shape policy)
-    ch, cw = canvas_hw
-    if new_h > ch or new_w > cw:
-        s = min(ch / new_h, cw / new_w)
-        new_h, new_w = int(new_h * s), int(new_w * s)
-    resized = cv2.resize(image, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
-    sx, sy = new_w / w, new_h / h
-    out_boxes = boxes.astype(np.float32).copy()
-    if len(out_boxes):
-        out_boxes[:, [0, 2]] *= sx
-        out_boxes[:, [1, 3]] *= sy
-
-    do_flip = flip and rng.random() < 0.5
-    if do_flip:
-        resized = resized[:, ::-1]
-        if len(out_boxes):
-            x1 = new_w - out_boxes[:, 2]
-            x2 = new_w - out_boxes[:, 0]
-            out_boxes[:, 0], out_boxes[:, 2] = x1, x2
-
-    canvas = np.zeros((ch, cw, 3), np.float32)
-    canvas[:new_h, :new_w] = resized.astype(np.float32)
+    geom = weak_augment_geometry(
+        image.shape[0], image.shape[1], boxes, canvas_hw, min_size, max_size,
+        sampling, rng, flip=flip, crop=crop,
+    )
     return {
-        "image": canvas,
-        "boxes": out_boxes,
-        "hw": np.asarray([new_h, new_w], np.float32),
-        "canvas": (ch, cw),
-        "keep": keep,
+        "image": materialize_weak_augment(image, geom),
+        "boxes": geom["boxes"],
+        "hw": geom["hw"],
+        "canvas": geom["canvas"],
+        "keep": geom["keep"],
     }
 
 

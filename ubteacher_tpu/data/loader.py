@@ -23,7 +23,15 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import numpy as np
 
 from ..structures import PaddedInstances
-from .augment import apply_weak_augment
+from .augment import (
+    apply_weak_augment,
+    materialize_weak_augment,
+    weak_augment_geometry,
+)
+
+# image decodes per stream, for tests/diagnostics of the multi-host
+# decode-deduplication path (each process decodes only the rows it owns)
+DECODE_STATS = {"train": 0, "test": 0}
 
 
 def _pad_gt(objs: List[Dict], max_gt: int) -> Dict[str, np.ndarray]:
@@ -70,8 +78,31 @@ class TwoStreamDataLoader:
         unlabel_dicts: List[Dict],
         seed: int = 0,
         image_loader=None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.cfg = cfg
+        # Multi-host: every process replays the SAME sample selection and
+        # augmentation-geometry draw sequence (metadata-only, no image IO),
+        # but decodes/augments pixels ONLY for the global batch rows its
+        # devices own (the reference's analog is the per-rank loader split,
+        # build.py:227-241 — each rank maps only its own samples).
+        if process_count is None:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        self.process_count = process_count
+        self.process_index = process_index or 0
+        self.local_rows = process_count > 1
+        if self.local_rows:
+            for b in (cfg.SOLVER.IMG_PER_BATCH_LABEL,
+                      cfg.SOLVER.IMG_PER_BATCH_UNLABEL):
+                if b % process_count:
+                    raise ValueError(
+                        f"batch size {b} not divisible by "
+                        f"process_count {process_count}"
+                    )
         # D2 filter_images_with_only_crowd_annotations semantics: an image
         # counts as empty unless it has at least one NON-crowd annotation
         self.label_dicts = [
@@ -121,6 +152,7 @@ class TwoStreamDataLoader:
 
     def _prepare(self, d: Dict, rng: np.random.Generator) -> Dict:
         img = self._image_loader(d["file_name"])
+        DECODE_STATS["train"] += 1
         orient = "landscape" if img.shape[1] >= img.shape[0] else "portrait"
         # crowd annotations are never training targets (reference drops
         # iscrowd != 0 before building instances, dataset_mapper.py:129);
@@ -146,17 +178,51 @@ class TwoStreamDataLoader:
             "bucket": rec["canvas"],
         }
 
-    def _stream(self, dicts: List[Dict], seed: int) -> Iterator[Dict]:
+    def _prepare_geom(self, d: Dict, rng: np.random.Generator) -> Dict:
+        """Multi-host `_prepare`: identical rng draw sequence and box/gt
+        math from COCO metadata dims alone — no image IO. Pixels for owned
+        rows are materialized later in `_assemble_local`. Trusts the dicts'
+        width/height like the reference's aspect grouping (build.py:161)."""
+        h, w = int(d["height"]), int(d["width"])
+        orient = "landscape" if w >= h else "portrait"
+        annos = [o for o in d["annotations"] if o.get("iscrowd", 0) == 0]
+        boxes = np.asarray(
+            [o["bbox"] for o in annos], np.float32
+        ).reshape(-1, 4)
+        geom = weak_augment_geometry(
+            h, w, boxes, self.canvases[orient], self.min_size, self.max_size,
+            self.sampling, rng, crop=self.crop,
+        )
+        objs = [
+            {"bbox": geom["boxes"][i], "category_id": o["category_id"]}
+            for i, o in enumerate(annos)
+            if geom["keep"][i]
+        ]
+        return {
+            "dict": d,
+            "geom": geom,
+            "hw": geom["hw"],
+            "gt": _pad_gt(objs, self.max_gt),
+            "bucket": geom["canvas"],
+        }
+
+    def _stream(
+        self, dicts: List[Dict], seed: int, prepare=None
+    ) -> Iterator[Dict]:
+        prepare = prepare or self._prepare
         sampler = _InfiniteSampler(len(dicts), seed)
         rng = np.random.default_rng(seed + 12345)
         warned = 0
         while True:
             # corrupt-sample fallback: retry with the next index
-            # (reference: MapDatasetTwoCrop 3-retry, data/common.py:22-43)
+            # (reference: MapDatasetTwoCrop 3-retry, data/common.py:22-43).
+            # In the multi-host geometry stream failures are metadata
+            # errors, identical on every process, so the retry draw stays
+            # aligned across hosts.
             for _ in range(3):
                 d = dicts[next(sampler)]
                 try:
-                    yield self._prepare(d, rng)
+                    yield prepare(d, rng)
                     break
                 except Exception:
                     if warned < 5:
@@ -171,19 +237,62 @@ class TwoStreamDataLoader:
                 raise RuntimeError("3 consecutive corrupt samples")
 
     def _batched_stream(
-        self, dicts: List[Dict], batch_size: int, seed: int
+        self, dicts: List[Dict], batch_size: int, seed: int, prepare=None
     ) -> Iterator[List[Dict]]:
         """Aspect-ratio- and scale-bucketed batching: one bucket per chosen
         canvas (reference groups by aspect only, common.py:93-167 — its
         batch-max padding handles scale; fixed shapes need a bucket per
         canvas)."""
         buckets: Dict[tuple, List[Dict]] = {}
-        for item in self._stream(dicts, seed):
+        for item in self._stream(dicts, seed, prepare):
             b = buckets.setdefault(item["bucket"], [])
             b.append(item)
             if len(b) == batch_size:
                 yield b[:]
                 b.clear()
+
+    def _owned(self, n: int) -> Tuple[int, int]:
+        """Global batch rows this process ships: shard_local_batch (and
+        shard_batch's slicing twin) lay processes out in order, so host p
+        owns rows [p*n/P, (p+1)*n/P)."""
+        chunk = n // self.process_count
+        return self.process_index * chunk, (self.process_index + 1) * chunk
+
+    def _materialize(self, item: Dict) -> Dict:
+        """Decode + pixel-augment an owned geometry stub. A corrupt file
+        zeroes the image AND its gt row: sample selection already happened
+        on metadata alone on every host, so the owner cannot re-draw
+        without desyncing the shared rng streams."""
+        try:
+            img = self._image_loader(item["dict"]["file_name"])
+            DECODE_STATS["train"] += 1
+            image = materialize_weak_augment(img, item["geom"])
+        except Exception:
+            import logging
+
+            logging.getLogger("ubteacher_tpu").warning(
+                "failed to load %s; feeding a zero image/gt row",
+                item["dict"].get("file_name", "?"),
+            )
+            ch, cw = item["bucket"]
+            image = np.zeros((ch, cw, 3), np.float32)
+            item = dict(
+                item, gt={k: np.zeros_like(v) for k, v in item["gt"].items()}
+            )
+        return dict(item, image=image)
+
+    def _assemble_local(
+        self, label_items: List[Dict], unlabel_items: List[Dict]
+    ) -> Dict:
+        """Multi-host assembly: materialize and stack ONLY the owned rows
+        of each stream; pair with parallel.shard_local_batch, which builds
+        the global array from per-process local rows."""
+        l0, l1 = self._owned(len(label_items))
+        u0, u1 = self._owned(len(unlabel_items))
+        return self._assemble(
+            [self._materialize(it) for it in label_items[l0:l1]],
+            [self._materialize(it) for it in unlabel_items[u0:u1]],
+        )
 
     def _assemble(self, label_items: List[Dict], unlabel_items: List[Dict]) -> Dict:
         def stack_images(items):
@@ -210,15 +319,17 @@ class TwoStreamDataLoader:
         }
 
     def __iter__(self) -> Iterator[Dict]:
+        prepare = self._prepare_geom if self.local_rows else None
+        assemble = self._assemble_local if self.local_rows else self._assemble
         label_batches = self._batched_stream(
-            self.label_dicts, self.batch_label, self.seed
+            self.label_dicts, self.batch_label, self.seed, prepare
         )
         unlabel_batches = self._batched_stream(
-            self.unlabel_dicts, self.batch_unlabel, self.seed + 7
+            self.unlabel_dicts, self.batch_unlabel, self.seed + 7, prepare
         )
         if self.num_threads <= 0:
             for lb, ub in zip(label_batches, unlabel_batches):
-                yield self._assemble(lb, ub)
+                yield assemble(lb, ub)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=4)
@@ -229,7 +340,7 @@ class TwoStreamDataLoader:
                 for lb, ub in zip(label_batches, unlabel_batches):
                     if stop.is_set():
                         return
-                    q.put(self._assemble(lb, ub))
+                    q.put(assemble(lb, ub))
             except Exception as e:  # surface errors to the consumer
                 q.put(e)
 
@@ -292,6 +403,7 @@ class TestDataLoader:
         ids = []
         for i, d in enumerate(chunk):
             img = self._image_loader(d["file_name"])
+            DECODE_STATS["test"] += 1
             h, w = img.shape[:2]
             scale = self.min_size / min(h, w)
             if max(h, w) * scale > self.max_size:

@@ -24,7 +24,13 @@ from ..data.coco import divide_label_unlabel, load_coco_json, load_coco_unlabel_
 from ..data.loader import TestDataLoader, TwoStreamDataLoader
 from ..evaluation import inference_on_dataset
 from ..modeling.fcos_head import build_one_stage_detector
-from ..parallel import get_mesh, replicate, set_active_mesh, shard_batch
+from ..parallel import (
+    get_mesh,
+    replicate,
+    set_active_mesh,
+    shard_batch,
+    shard_local_batch,
+)
 from ..solver import build_optimizer
 from ..utils.events import EventStorage, setup_logger
 from .fcos_trainer import FCOSTrainState, make_fcos_train_steps
@@ -258,6 +264,13 @@ class UBTeacherTrainer:
         # one-batch device prefetch: ship batch i+1 host->device while the
         # device executes step i (device_put is async)
         pending = None
+        # multi-host loaders assemble only their own rows; shard_local_batch
+        # builds the global array from the per-process chunks
+        shard = (
+            (lambda b: shard_local_batch(b, self.mesh))
+            if getattr(self.loader, "local_rows", False)
+            else (lambda b: shard_batch(b, self.mesh))
+        )
 
         def next_device_batch():
             nonlocal rng, pending
@@ -265,13 +278,13 @@ class UBTeacherTrainer:
                 b = next(data_iter)
                 rng, sub = jax.random.split(rng)
                 b["rng"] = sub
-                pending = shard_batch(b, self.mesh)
+                pending = shard(b)
             out = pending
             try:
                 b = next(data_iter)
                 rng, sub = jax.random.split(rng)
                 b["rng"] = sub
-                pending = shard_batch(b, self.mesh)
+                pending = shard(b)
             except StopIteration:
                 pending = None
             return out
@@ -321,6 +334,10 @@ class UBTeacherTrainer:
         from ..utils.visualizer import save_training_panels
 
         def first(x):
+            if jax.process_count() > 1:
+                # the batch is globally sharded; rank 0's first addressable
+                # shard holds global row 0 (process-ordered layout)
+                return np.asarray(x.addressable_shards[0].data)[:1]
             return np.asarray(jax.device_get(x))[:1]
 
         img_l = first(batch["images_label_k"])
@@ -328,7 +345,7 @@ class UBTeacherTrainer:
             first(batch["label_hw"]) if "label_hw" in batch
             else np.asarray([[img_l.shape[1], img_l.shape[2]]], np.float32)
         )
-        gt = jax.device_get(batch["gt_label"])
+        gt = jax.tree.map(first, batch["gt_label"])
         panels = [{
             "title": "gt",
             "image": img_l[0],
@@ -359,10 +376,21 @@ class UBTeacherTrainer:
                 self.cfg.OUTPUT_DIR, iteration, "unlabeled", upanels
             )
 
+    @staticmethod
+    def _local_params(params):
+        """Multi-host: visualization/eval inference runs process-locally;
+        pull a local replica of the globally-replicated params (a global
+        jit from one rank alone would hang the other controllers)."""
+        if jax.process_count() == 1:
+            return params
+        return jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(jax.device_get(a))), params
+        )
+
     def _vis_predictions(self, params, images, hw):
         """-> panel dict of the model's detections on `images` (B=1)."""
         dets = jax.device_get(self._vis_infer_fn()(
-            params, jnp.asarray(images), jnp.asarray(hw)
+            self._local_params(params), jnp.asarray(images), jnp.asarray(hw)
         ))
         return {
             "boxes": np.asarray(dets.boxes)[0],
@@ -374,6 +402,7 @@ class UBTeacherTrainer:
     def _vis_pseudo_sets(self, teacher_params, images, hw):
         """-> [(title, panel dict)] of thresholded teacher pseudo boxes."""
         f = self.cfg.MODEL.FCOS
+        teacher_params = self._local_params(teacher_params)
         out = []
         for title, method in (
             ("pseudo-cls", f.NMS_CRITERIA_TRAIN),
@@ -423,8 +452,18 @@ class UBTeacherTrainer:
     def test(self, model: str = "teacher") -> Dict[str, float]:
         params = self.state.teacher if model == "teacher" else self.state.student
         test_dicts = self.datasets["test"]
+        # multi-host: each process runs inference on a contiguous shard of
+        # the test set (InferenceSampler semantics, reference build.py:114);
+        # the evaluator allgathers detection rows so every host returns
+        # identical full-dataset metrics
+        shard = test_dicts
+        if jax.process_count() > 1:
+            parts = np.array_split(
+                np.arange(len(test_dicts)), jax.process_count()
+            )
+            shard = [test_dicts[i] for i in parts[jax.process_index()]]
         loader = TestDataLoader(
-            self.cfg, test_dicts, batch_size=self.cfg.TPU.EVAL_BATCH,
+            self.cfg, shard, batch_size=self.cfg.TPU.EVAL_BATCH,
             image_loader=self._image_loader,
         )
         return inference_on_dataset(
@@ -509,7 +548,8 @@ class UBRCNNTeacherTrainer(UBTeacherTrainer):
         """RCNN pseudo labels are a single score-thresholded set
         (reference: trainer.py:727-769)."""
         dets = jax.device_get(self._vis_infer_fn()(
-            teacher_params, jnp.asarray(images), jnp.asarray(hw)
+            self._local_params(teacher_params), jnp.asarray(images),
+            jnp.asarray(hw)
         ))
         keep = np.asarray(dets.mask)[0] & (
             np.asarray(dets.scores)[0] > self.cfg.SEMISUPNET.BBOX_THRESHOLD

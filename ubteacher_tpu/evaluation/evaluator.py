@@ -79,36 +79,57 @@ def inference_on_dataset(
     box_proposals task (coco_evaluation.py:258-301).
     """
     num_classes = num_classes or cfg.MODEL.FCOS.NUM_CLASSES
-    evaluator = COCOBboxEvaluator(num_classes)
-
     by_id = {d["image_id"]: d for d in dataset_dicts}
-    for d in dataset_dicts:
-        boxes_xyxy = np.asarray(
-            [o["bbox"] for o in d["annotations"]], np.float64
-        ).reshape(-1, 4)
-        xywh = boxes_xyxy.copy()
-        xywh[:, 2:] -= xywh[:, :2]
-        evaluator.add_ground_truth(
-            d["image_id"],
-            xywh,
-            [o["category_id"] for o in d["annotations"]],
-            iscrowd=[o.get("iscrowd", 0) for o in d["annotations"]],
-            areas=[o.get("area", None) or (b[2] * b[3]) for o, b in zip(d["annotations"], xywh)],
-        )
-
     infer = infer_fn or make_fcos_inference_fn(cfg, model, nms_method)
 
+    det_rows, prop_rows, total_time, n_images = collect_detections(
+        cfg, params, data_loader, by_id, infer, proposal_fn
+    )
+    # multi-host: each process evaluated its InferenceSampler shard
+    # (trainer.test slices dataset order); gather the fixed-width rows so
+    # every host computes identical metrics (the reference gathers
+    # per-rank predictions the same way, D2 inference_on_dataset)
+    from ..parallel import allgather_host_rows
+
+    det_rows = allgather_host_rows(det_rows)
+    if proposal_fn is not None:
+        prop_rows = allgather_host_rows(prop_rows)
+
+    results = evaluate_detection_rows(
+        det_rows, dataset_dicts, num_classes,
+        prop_rows if proposal_fn is not None else None,
+    )
+    if n_images > 0:
+        results["inference_sec_per_image"] = total_time / n_images
+    return results
+
+
+def collect_detections(
+    cfg, params, data_loader, by_id: Dict, infer: Callable,
+    proposal_fn: Callable | None = None,
+):
+    """Run inference over `data_loader`, returning fixed-width numpy rows:
+    detections (N, 7) [img_id, x, y, w, h, score, cls] in ORIGINAL image
+    coordinates, proposals (M, 6) [img_id, x1, y1, x2, y2, objectness],
+    plus (timed_seconds, timed_images) for warmup-aware latency.
+
+    Row arrays (rather than evaluator state) are the unit of work so
+    multi-host eval can allgather each process's shard before scoring."""
     # shard eval batches over the active data-parallel mesh so all chips
-    # work during eval (the reference shards the test set across ranks via
-    # InferenceSampler, build.py:114); requires EVAL_BATCH % n_devices == 0.
-    # Multi-host: eval stays PROCESS-LOCAL (every host evaluates the full
-    # set on its own devices) — the per-image host loop below needs every
-    # detection row, and device_get of a globally-sharded result would
-    # raise on non-addressable shards.
+    # work during eval; requires EVAL_BATCH % n_devices == 0. Multi-host:
+    # each process runs its own shard of the test SET process-locally (the
+    # global mesh spans hosts; params are fetched to local devices below).
     from ..parallel import active_mesh, shard_batch
 
     mesh = active_mesh()
     single_process = jax.process_count() == 1
+    if not single_process:
+        # state params live on the global (all-host) mesh; eval compute is
+        # process-local, so pull a local replica (params are replicated —
+        # fully addressable on every host)
+        params = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(jax.device_get(a))), params
+        )
 
     def to_device(x):
         if mesh is None or not single_process:
@@ -118,7 +139,8 @@ def inference_on_dataset(
     num_warmup = 5
     total_time = 0.0
     n_images = 0
-    proposal_records = []
+    det_rows: List[np.ndarray] = []
+    prop_rows: List[np.ndarray] = []
     seen_canvases = set()
     for i, batch in enumerate(data_loader):
         # orientation-grouped batches switch canvas mid-stream; the first
@@ -152,38 +174,87 @@ def inference_on_dataset(
             d = by_id[img_id]
             boxes[:, 0::2] = boxes[:, 0::2].clip(0, d["width"])
             boxes[:, 1::2] = boxes[:, 1::2].clip(0, d["height"])
-            xywh = boxes.copy()
+            xywh = boxes.astype(np.float64)
             xywh[:, 2:] -= xywh[:, :2]
-            evaluator.add_detections(
-                img_id, xywh, dets.scores[bi][mask], dets.classes[bi][mask]
-            )
+            rows = np.empty((len(xywh), 7), np.float64)
+            rows[:, 0] = img_id
+            rows[:, 1:5] = xywh
+            rows[:, 5] = dets.scores[bi][mask]
+            rows[:, 6] = dets.classes[bi][mask]
+            det_rows.append(rows)
             if proposal_fn is not None:
-                pb = pboxes[bi][pmask[bi]] / scale
+                pb = (pboxes[bi][pmask[bi]] / scale).astype(np.float64)
                 pb[:, 0::2] = pb[:, 0::2].clip(0, d["width"])
                 pb[:, 1::2] = pb[:, 1::2].clip(0, d["height"])
-                anns = [
-                    o for o in d["annotations"] if not o.get("iscrowd", 0)
-                ]
-                gt_xyxy = np.asarray(
-                    [o["bbox"] for o in anns], np.float64
-                ).reshape(-1, 4)
-                proposal_records.append({
-                    "proposal_boxes": pb,
-                    "objectness": pscores[bi][pmask[bi]],
-                    "gt_boxes": gt_xyxy,
-                    "gt_areas": [
-                        o.get("area", None)
-                        or (o["bbox"][2] - o["bbox"][0])
-                        * (o["bbox"][3] - o["bbox"][1])
-                        for o in anns
-                    ],
-                })
+                prows = np.empty((len(pb), 6), np.float64)
+                prows[:, 0] = img_id
+                prows[:, 1:5] = pb
+                prows[:, 5] = pscores[bi][pmask[bi]]
+                prop_rows.append(prows)
 
+    det = (
+        np.concatenate(det_rows) if det_rows else np.zeros((0, 7), np.float64)
+    )
+    prop = (
+        np.concatenate(prop_rows)
+        if prop_rows else np.zeros((0, 6), np.float64)
+    )
+    return det, prop, total_time, n_images
+
+
+def evaluate_detection_rows(
+    det_rows: np.ndarray,
+    dataset_dicts: List[Dict],
+    num_classes: int,
+    prop_rows: np.ndarray | None = None,
+) -> Dict[str, float]:
+    """Score detection rows (collect_detections format) against the FULL
+    dataset's ground truth. Pure host-side: same result regardless of how
+    the rows were sharded/gathered."""
+    evaluator = COCOBboxEvaluator(num_classes)
+    for d in dataset_dicts:
+        boxes_xyxy = np.asarray(
+            [o["bbox"] for o in d["annotations"]], np.float64
+        ).reshape(-1, 4)
+        xywh = boxes_xyxy.copy()
+        xywh[:, 2:] -= xywh[:, :2]
+        evaluator.add_ground_truth(
+            d["image_id"],
+            xywh,
+            [o["category_id"] for o in d["annotations"]],
+            iscrowd=[o.get("iscrowd", 0) for o in d["annotations"]],
+            areas=[o.get("area", None) or (b[2] * b[3]) for o, b in zip(d["annotations"], xywh)],
+        )
+    det_rows = np.asarray(det_rows, np.float64).reshape(-1, 7)
+    for img_id in np.unique(det_rows[:, 0]):
+        r = det_rows[det_rows[:, 0] == img_id]
+        evaluator.add_detections(
+            int(img_id), r[:, 1:5], r[:, 5], r[:, 6].astype(np.int64)
+        )
     results = evaluator.evaluate()
-    if proposal_fn is not None:
+
+    if prop_rows is not None:
         from .proposal_eval import proposal_metrics
 
-        results.update(proposal_metrics(proposal_records))
-    if n_images > 0:
-        results["inference_sec_per_image"] = total_time / n_images
+        by_id = {d["image_id"]: d for d in dataset_dicts}
+        prop_rows = np.asarray(prop_rows, np.float64).reshape(-1, 6)
+        records = []
+        for img_id in np.unique(prop_rows[:, 0]):
+            r = prop_rows[prop_rows[:, 0] == img_id]
+            d = by_id[int(img_id)]
+            anns = [o for o in d["annotations"] if not o.get("iscrowd", 0)]
+            records.append({
+                "proposal_boxes": r[:, 1:5],
+                "objectness": r[:, 5],
+                "gt_boxes": np.asarray(
+                    [o["bbox"] for o in anns], np.float64
+                ).reshape(-1, 4),
+                "gt_areas": [
+                    o.get("area", None)
+                    or (o["bbox"][2] - o["bbox"][0])
+                    * (o["bbox"][3] - o["bbox"][1])
+                    for o in anns
+                ],
+            })
+        results.update(proposal_metrics(records))
     return results

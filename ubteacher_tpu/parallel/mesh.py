@@ -108,3 +108,65 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         )
 
     return jax.tree.map(put, batch)
+
+
+def shard_local_batch(batch: dict, mesh: Mesh) -> Any:
+    """shard_batch for multi-host loaders that prepare ONLY their own rows.
+
+    Every batch-dim leaf holds this process's chunk (leading dim B/P, in
+    process order — TwoStreamDataLoader._owned); the global array is
+    assembled without any host ever materializing rows it doesn't own,
+    which is what keeps host-side decode/augment work constant as hosts
+    are added (the reference's per-rank loader split, build.py:227-241).
+    The 'rng' key must be identical on every host and replicates.
+    """
+    pc = jax.process_count()
+    if pc == 1:
+        return shard_batch(batch, mesh)
+    sh = batch_sharding(mesh)
+    rep = replicate(mesh)
+
+    def put_rows(x):
+        x = np.ascontiguousarray(np.asarray(x))
+        return jax.make_array_from_process_local_data(
+            sh, x, global_shape=(x.shape[0] * pc,) + x.shape[1:]
+        )
+
+    out = {}
+    for k, v in batch.items():
+        if k == "rng":
+            out[k] = jax.make_array_from_process_local_data(rep, np.asarray(v))
+        else:
+            out[k] = jax.tree.map(put_rows, v)
+    return out
+
+
+def allgather_host_rows(rows: np.ndarray) -> np.ndarray:
+    """Concatenate per-process host (n_p, d) row arrays across processes.
+
+    The multi-host eval gather: each process evaluates its InferenceSampler
+    shard of the test set and the fixed-width detection rows are
+    all-gathered so every host computes identical metrics (the reference
+    gathers predictions via comm.gather in DatasetEvaluator.evaluate).
+    Row counts may differ per process — rows are padded to the max count,
+    gathered through a jitted allgather, and un-padded. No-op single-host.
+    """
+    rows = np.asarray(rows)
+    if rows.ndim == 1:
+        rows = rows.reshape(0, 1) if rows.size == 0 else rows[:, None]
+    if jax.process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(
+        np.asarray(rows.shape[0], np.int64)
+    )  # (P,)
+    mx = int(counts.max())
+    if mx == 0:
+        return rows
+    pad = np.zeros((mx, rows.shape[1]), rows.dtype)
+    pad[: rows.shape[0]] = rows
+    gathered = np.asarray(multihost_utils.process_allgather(pad))  # (P, mx, d)
+    return np.concatenate(
+        [gathered[p, : int(counts[p])] for p in range(gathered.shape[0])]
+    )
