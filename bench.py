@@ -39,6 +39,26 @@ WARMUP = 3
 
 
 def main() -> None:
+    """Default driver entry: ONE JSON line with the FCOS mutual-step
+    throughput as the headline metric and the RCNN mutual-step throughput
+    as a sub-metric (both driver-captured; VERDICT r2 weak #4)."""
+    fcos = measure_fcos()
+    rcnn = measure_rcnn()
+    print(
+        json.dumps(
+            {
+                "metric": "ssod_images_per_sec_per_chip",
+                "value": round(fcos, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(fcos / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+                "fcos_img_s_chip": round(fcos, 3),
+                "rcnn_img_s_chip": round(rcnn, 3),
+            }
+        )
+    )
+
+
+def measure_fcos() -> float:
     from ubteacher_tpu.config import add_ubteacher_config, get_cfg
     from ubteacher_tpu.engine import FCOSTrainState, make_fcos_train_steps
     from ubteacher_tpu.modeling.fcos_head import build_one_stage_detector
@@ -117,17 +137,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_step = batch_label + batch_unlabel
-    value = imgs_per_step * STEPS / dt / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "ssod_images_per_sec_per_chip",
-                "value": round(value, 3),
-                "unit": "img/s/chip",
-                "vs_baseline": round(value / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
-            }
-        )
-    )
+    return imgs_per_step * STEPS / dt / n_chips
 
 
 def bench_inference(rcnn: bool = False) -> None:
@@ -188,7 +198,7 @@ def bench_inference(rcnn: bool = False) -> None:
     )
 
 
-def bench_rcnn() -> None:
+def measure_rcnn() -> float:
     """Faster R-CNN mutual step. The recipe's GLOBAL batch is 32+32 over
     8 GPUs (README.md:76-110); on TPU the throughput-optimal data-parallel
     layout for the same global batch is 4 chips at 8+8 per chip (devicetime
@@ -263,7 +273,11 @@ def bench_rcnn() -> None:
         state, metrics = mutual_step(state, batch_for(WARMUP + i))
     float(jax.device_get(metrics["total_loss"]))
     dt = time.perf_counter() - t0
-    value = 2 * b * STEPS / dt / n_chips
+    return 2 * b * STEPS / dt / n_chips
+
+
+def bench_rcnn() -> None:
+    value = measure_rcnn()
     print(
         json.dumps(
             {

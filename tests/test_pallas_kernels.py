@@ -33,6 +33,47 @@ def test_nms_pallas_matches_jnp():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_nms_pallas_valid_count_gating():
+    """The kernel bounds its block loops by the valid-candidate count
+    (score-sorted prefix). The kept set must stay exact when valid rows are
+    a small fraction of a large pool — the reference-parity decode pools
+    (TPU.NMS_CANDIDATES=5000) rely on tail blocks being skipped."""
+    rng = np.random.default_rng(7)
+    n = 1024
+    boxes = _random_boxes(rng, n)
+    scores = rng.random(n).astype(np.float32)
+    for n_valid in (0, 1, 37, 130, 1024):
+        valid = np.zeros(n, bool)
+        valid[rng.choice(n, n_valid, replace=False)] = True
+        ref = nms_keep(jnp.asarray(boxes), jnp.asarray(scores),
+                       jnp.asarray(valid), 0.5)
+        got = nms_keep_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                              jnp.asarray(valid), 0.5, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=f"n_valid={n_valid}")
+
+
+def test_nms_pallas_vmap_per_image_counts():
+    """vmapped kernel (the decode's per-image layout): each image carries
+    its own valid count through the SMEM scalar."""
+    rng = np.random.default_rng(8)
+    b, n = 3, 256
+    boxes = np.stack([_random_boxes(rng, n) for _ in range(b)])
+    scores = rng.random((b, n)).astype(np.float32)
+    valid = np.zeros((b, n), bool)
+    valid[0, :5] = True            # tiny
+    valid[1] = rng.random(n) > 0.5  # half
+    # image 2: nothing valid
+    got = jax.vmap(
+        lambda bx, s, v: nms_keep_pallas(bx, s, v, 0.5, interpret=True)
+    )(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
+    for i in range(b):
+        ref = nms_keep(jnp.asarray(boxes[i]), jnp.asarray(scores[i]),
+                       jnp.asarray(valid[i]), 0.5)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref),
+                                      err_msg=f"image {i}")
+
+
 def test_focal_pallas_matches_jnp_fwd_and_grad():
     rng = np.random.default_rng(1)
     x = rng.normal(size=(256, 80)).astype(np.float32)

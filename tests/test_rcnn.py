@@ -382,3 +382,80 @@ def test_focal_ce_extreme_logits_finite_grads():
     # row contribution (p == 1 -> focal weight 0)
     one = focal_ce_loss(scores[:1], cls[:1], valid[:1])
     np.testing.assert_allclose(float(one), 0.0, atol=1e-12)
+
+
+def test_find_top_proposals_matches_d2_semantics():
+    """find_top_proposals == a numpy transcription of D2's
+    find_top_rpn_proposals (proposal_utils.py): per-level top-k by
+    objectness, decode+clip, nonempty(min_size) filter, per-level greedy
+    NMS (batched_nms with level id as class never crosses levels), global
+    top post_nms_topk by score. The repo runs the per-level NMS as a
+    stacked vmapped kernel — the kept set must be identical."""
+    from ubteacher_tpu.modeling.rpn import find_top_proposals
+
+    cfg_sizes = [[16.0], [32.0]]
+    strides = [8, 16]
+    anch = generate_anchors((64, 96), strides, cfg_sizes, [[1.0]], 0.0)
+    anchors = np.asarray(anch["anchors"])
+    level_lengths = list(anch["level_lengths"])
+    A = anchors.shape[0]
+    rng = np.random.default_rng(11)
+    logits = rng.normal(0, 1, size=(A,)).astype(np.float32)
+    hw = np.asarray([60.0, 90.0], np.float32)
+    pre_nms_topk, post_nms_topk, nms_thresh = 50, 30, 0.6
+
+    def np_iou(a, b):
+        ix1 = np.maximum(a[0], b[:, 0])
+        iy1 = np.maximum(a[1], b[:, 1])
+        ix2 = np.minimum(a[2], b[:, 2])
+        iy2 = np.minimum(a[3], b[:, 3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (
+            (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        ) - inter
+        return np.where(ua > 0, inter / np.maximum(ua, 1e-12), 0.0)
+
+    # --- numpy D2 transcription (zero deltas: proposal == anchor) ---
+    survivors = []  # (score, box)
+    off = 0
+    for ln in level_lengths:
+        ls = logits[off : off + ln]
+        lb = anchors[off : off + ln].copy()
+        order = np.argsort(-ls)[: min(pre_nms_topk, ln)]
+        ls, lb = ls[order], lb[order]
+        lb[:, 0::2] = lb[:, 0::2].clip(0, hw[1])
+        lb[:, 1::2] = lb[:, 1::2].clip(0, hw[0])
+        keep = (lb[:, 2] - lb[:, 0] > 0) & (lb[:, 3] - lb[:, 1] > 0)
+        ls, lb = ls[keep], lb[keep]
+        # greedy NMS within the level
+        sup = np.zeros(len(ls), bool)
+        for i in np.argsort(-ls):
+            if sup[i]:
+                continue
+            iou = np_iou(lb[i], lb)
+            newly = iou > nms_thresh
+            newly[i] = False
+            sup |= newly
+            survivors.append((float(ls[i]), lb[i]))
+        off += ln
+    survivors.sort(key=lambda t: -t[0])
+    ref = survivors[:post_nms_topk]
+
+    boxes, scores, mask = find_top_proposals(
+        jnp.asarray(anchors), level_lengths, anch["level_ids"],
+        jnp.asarray(logits).reshape(1, -1, 1),
+        jnp.zeros((1, A, 1, 4), jnp.float32),
+        jnp.asarray(hw)[None], Box2BoxTransform((1.0, 1.0, 1.0, 1.0)),
+        pre_nms_topk, post_nms_topk, nms_thresh,
+        total_candidates=pre_nms_topk,
+    )
+    got_scores = np.asarray(scores[0])[np.asarray(mask[0])]
+    got_boxes = np.asarray(boxes[0])[np.asarray(mask[0])]
+    assert len(got_scores) == len(ref) > 0
+    np.testing.assert_allclose(
+        got_scores, [s for s, _ in ref], rtol=1e-6
+    )
+    order = np.argsort(-got_scores)
+    np.testing.assert_allclose(
+        got_boxes[order], np.stack([b for _, b in ref]), atol=1e-4
+    )

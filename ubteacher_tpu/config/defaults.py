@@ -328,8 +328,15 @@ def add_tpu_config(cfg: CN) -> None:
     # Padded per-image instance capacities.
     _C.TPU.MAX_GT = 100            # ground-truth boxes per image
     _C.TPU.MAX_PSEUDO = 100        # pseudo boxes per image (= POST_NMS_TOPK)
-    # NMS fixed-candidate cap after per-level top-k concat.
-    _C.TPU.NMS_CANDIDATES = 1000
+    # NMS fixed-candidate pool cap. FCOS decode: cap on the merged
+    # cross-level candidate pool — at 5000 (= 5 levels x PRE_NMS_TOPK 1000)
+    # the cap is a no-op and the NMS pool is reference-exact
+    # (select_over_all_levels NMSes every surviving candidate,
+    # fcos_outputs.py:1300-1319). RPN: cap on each LEVEL's pool — >= 2000
+    # (PRE_NMS_TOPK_TRAIN) is reference-exact. Affordable because the
+    # Pallas NMS kernel bounds its work by the actual number of
+    # valid candidates (score-sorted prefix), not the static pool size.
+    _C.TPU.NMS_CANDIDATES = 5000
     # Compute dtype for conv towers ("bfloat16" or "float32").
     _C.TPU.COMPUTE_DTYPE = "bfloat16"
     # compute the 7x7/s2 stem conv space-to-depth (4x4/s1 over 12 channels,

@@ -101,10 +101,11 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
             rpn_cfg.PRE_NMS_TOPK_TRAIN if train else rpn_cfg.PRE_NMS_TOPK_TEST,
             rpn_cfg.POST_NMS_TOPK_TRAIN if train else rpn_cfg.POST_NMS_TOPK_TEST,
             rpn_cfg.NMS_THRESH,
-            total_candidates=max(cfg.TPU.NMS_CANDIDATES,
-                                 rpn_cfg.POST_NMS_TOPK_TRAIN if train
-                                 else rpn_cfg.POST_NMS_TOPK_TEST),
+            # per-level NMS pool cap; >= PRE_NMS_TOPK (2000) is
+            # reference-exact (per-level top-k, proposal_utils.py)
+            total_candidates=cfg.TPU.NMS_CANDIDATES,
             cell_origins=anch["cell_origins"],
+            min_size=cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE,
         )
         return pyramid, logits, deltas, anch, boxes, scores, mask
 
@@ -486,10 +487,9 @@ def make_rcnn_proposal_fn(cfg, model) -> Callable:
             logits, deltas, hw, rpn_box2box,
             rpn_cfg.PRE_NMS_TOPK_TEST, rpn_cfg.POST_NMS_TOPK_TEST,
             rpn_cfg.NMS_THRESH,
-            total_candidates=max(
-                cfg.TPU.NMS_CANDIDATES * 2, rpn_cfg.POST_NMS_TOPK_TEST
-            ),
+            total_candidates=cfg.TPU.NMS_CANDIDATES,
             cell_origins=anch["cell_origins"],
+            min_size=cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE,
         )
 
     return proposals
@@ -520,8 +520,9 @@ def make_rcnn_inference_fn(cfg, model) -> Callable:
             anch["anchors"], anch["level_lengths"], anch["level_ids"],
             logits, deltas, hw, rpn_box2box,
             rpn_cfg.PRE_NMS_TOPK_TEST, rpn_cfg.POST_NMS_TOPK_TEST,
-            rpn_cfg.NMS_THRESH, total_candidates=cfg.TPU.NMS_CANDIDATES * 2,
+            rpn_cfg.NMS_THRESH, total_candidates=cfg.TPU.NMS_CANDIDATES,
             cell_origins=anch["cell_origins"],
+            min_size=cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE,
         )
         scores, bdeltas, bstd = model.apply(
             {"params": params}, pyramid, pboxes, method=model.roi_box

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops import losses as L
 from ..ops.boxes import clip_boxes
-from ..ops.nms import batched_nms_keep, top_k_detections
+from ..ops.nms import nms_keep
 from .box_regression import Box2BoxTransform
 from .matcher import match, match_quality, random_priority_topk
 
@@ -228,13 +228,25 @@ def find_top_proposals(
     nms_thresh: float,
     total_candidates: int = 2000,
     cell_origins: jnp.ndarray | None = None,  # (A_total, 2)
+    min_size: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """D2 find_top_rpn_proposals, fixed shape: per-level top-k by
-    objectness, decode, clip, global candidate cap (bounds the O(K^2) NMS
-    IoU matrix), level-wise NMS (level id as NMS class), global post-NMS
-    top-k. When cell_origins is given, anchors beyond each image's true
-    extent are excluded (see anchor_validity). Returns (boxes (B,P,4),
-    scores (B,P), mask).
+    objectness, decode, clip, PER-LEVEL NMS, global post-NMS top-k. When
+    cell_origins is given, anchors beyond each image's true extent are
+    excluded (see anchor_validity). Returns (boxes (B,P,4), scores (B,P),
+    mask).
+
+    The reference's batched_nms over the concatenated levels (level id as
+    NMS class) never suppresses across levels, so it decomposes EXACTLY
+    into one independent NMS per level over that level's own
+    min(pre_nms_topk, ln) candidates. That is how it runs here: levels are
+    stacked into a (num_levels, K_max) pool (short levels padded invalid —
+    the NMS kernel's valid-count gating skips padded tail blocks) and a
+    single vmapped NMS covers them, replacing the old globally-capped
+    merged pool whose truncation at `total_candidates` could differ from
+    the reference in dense scenes. `total_candidates` now bounds the
+    per-level pool (cost knob; at >= pre_nms_topk the selection is
+    reference-exact; D2 semantics: proposal_utils.py find_top_rpn_proposals).
 
     Logits/deltas keep the cell-anchor dim minor (see RPNHead). The
     per-level top-k is two-stage and exact: any anchor in a level's top-k
@@ -242,23 +254,23 @@ def find_top_proposals(
     `top-k locations -> top-k anchors` selects the same set while all
     full-width ops stay in the (L, A_cell) layout (no lane relayouts)."""
 
-    global_cap = max(total_candidates, post_nms_topk)
     a_cell = pred_logits.shape[-1]
     # anchors at one location share a feature-map cell
     loc_origins = None if cell_origins is None else cell_origins[::a_cell]
+    per_level_cap = max(total_candidates, 1)
+    k_max = max(
+        min(pre_nms_topk, per_level_cap, ln) for ln in level_lengths
+    )
 
     def per_image(logits, deltas, hw):
         if loc_origins is not None:
             loc_valid = anchor_validity(loc_origins, hw)  # (L,)
             logits = jnp.where(loc_valid[:, None], logits, -jnp.inf)
-        sel_scores, sel_boxes, sel_lvls = [], [], []
+        sel_scores, sel_boxes = [], []
         loc_offset = 0
         for lvl, ln in enumerate(level_lengths):
             nloc = ln // a_cell
-            # candidates beyond the global cap can never survive the
-            # cross-level top-k below, so a per-level k larger than the cap
-            # (D2's 12000) only wastes sort time — same selected set
-            k = min(pre_nms_topk, global_cap, ln)
+            k = min(pre_nms_topk, per_level_cap, ln)
             lvl_scores = jax.lax.dynamic_slice_in_dim(
                 logits, loc_offset, nloc
             )                                              # (nloc, A)
@@ -275,21 +287,29 @@ def find_top_proposals(
                 deltas, loc_offset, nloc
             )[loc_sel].reshape(-1, 4)[idx]                 # (k, 4)
             boxes = box2box.apply_deltas(lvl_deltas, anchors[aidx])
-            sel_scores.append(top)
-            sel_boxes.append(boxes)
-            sel_lvls.append(jnp.full((k,), lvl, jnp.int32))
+            boxes = clip_boxes(boxes, hw[0], hw[1])
+            pad = k_max - k
+            sel_scores.append(jnp.pad(top, (0, pad), constant_values=-jnp.inf))
+            sel_boxes.append(jnp.pad(boxes, ((0, pad), (0, 0))))
             loc_offset += nloc
-        scores = jnp.concatenate(sel_scores)
-        boxes = jnp.concatenate(sel_boxes)
-        lvls = jnp.concatenate(sel_lvls)
-        cap = min(max(total_candidates, post_nms_topk), scores.shape[0])
-        top, idx = jax.lax.top_k(scores, cap)
-        scores, boxes, lvls = top, boxes[idx], lvls[idx]
-        boxes = clip_boxes(boxes, hw[0], hw[1])
+        scores = jnp.stack(sel_scores)                     # (NL, K_max)
+        boxes = jnp.stack(sel_boxes)                       # (NL, K_max, 4)
+        # D2 drops degenerate boxes after clipping (nonempty(min_box_size),
+        # proposal_utils.py) — PROPOSAL_GENERATOR.MIN_SIZE, strict >
+        nonempty = (
+            (boxes[..., 2] - boxes[..., 0] > min_size)
+            & (boxes[..., 3] - boxes[..., 1] > min_size)
+        )
+        scores = jnp.where(nonempty, scores, -jnp.inf)
         valid = jnp.isfinite(scores)
-        keep = batched_nms_keep(boxes, scores, lvls, valid, nms_thresh)
+        keep = jax.vmap(nms_keep, in_axes=(0, 0, 0, None))(
+            boxes, scores, valid, nms_thresh
+        )                                                  # (NL, K_max)
+        scores = jnp.where(keep, scores, -jnp.inf).reshape(-1)
+        boxes = boxes.reshape(-1, 4)
         k_post = min(post_nms_topk, scores.shape[0])
-        idx2, mask = top_k_detections(keep, scores, k_post)
-        return boxes[idx2], jnp.where(mask, scores[idx2], 0.0), mask
+        top2, idx2 = jax.lax.top_k(scores, k_post)
+        mask = jnp.isfinite(top2)
+        return boxes[idx2], jnp.where(mask, top2, 0.0), mask
 
     return jax.vmap(per_image)(pred_logits, pred_deltas, image_hw)

@@ -37,11 +37,21 @@ _BLK = 128
 
 
 def _nms_kernel(
-    blocks_ref, out_ref, sup_ref, *, nb: int, iou_threshold: float
+    nvalid_ref, blocks_ref, out_ref, sup_ref, *, nb: int, iou_threshold: float
 ):
     """blocks_ref: (NB, 8, 128) f32, sublanes = [x1, y1, x2, y2, area,
-    valid, 0, 0]; out_ref / sup_ref: (NB, 1, 128) f32 keep / suppression."""
+    valid, 0, 0]; out_ref / sup_ref: (NB, 1, 128) f32 keep / suppression.
+
+    nvalid_ref (SMEM, (1,) int32) holds the number of valid candidates.
+    Candidates arrive score-sorted with invalid rows at the tail, so only
+    the first ceil(nvalid/128) blocks can contain work — the loops are
+    bounded by that count, making kernel cost track the candidates that
+    actually survived the pre-NMS threshold (like the reference's
+    dynamic-shape NMS) instead of the static pool size. Tail blocks keep
+    the zero-initialized output (nothing kept)."""
+    out_ref[...] = jnp.zeros_like(out_ref)
     sup_ref[...] = jnp.zeros_like(sup_ref)
+    nbv = jnp.minimum((nvalid_ref[0] + _BLK - 1) // _BLK, nb)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, _BLK), 1)
     ident = (
         jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 0)
@@ -114,10 +124,10 @@ def _nms_kernel(
             )
             return 0
 
-        jax.lax.fori_loop(b + 1, nb, cross, 0)
+        jax.lax.fori_loop(b + 1, nbv, cross, 0)
         return 0
 
-    jax.lax.fori_loop(0, nb, outer, 0)
+    jax.lax.fori_loop(0, nbv, outer, 0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -159,15 +169,19 @@ def nms_keep_pallas(
     packed = packed.at[4, :k_in].set(area)
     packed = packed.at[5, :k_in].set(svalid.astype(jnp.float32))
     blocks = packed.reshape(8, nb, _BLK).transpose(1, 0, 2)  # (NB, 8, 128)
+    nvalid = jnp.sum(valid.astype(jnp.int32)).reshape(1)
 
     out = pl.pallas_call(
         functools.partial(_nms_kernel, nb=nb, iou_threshold=iou_threshold),
         out_shape=jax.ShapeDtypeStruct((nb, 1, _BLK), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((nb, 1, _BLK), jnp.float32)],
         interpret=interpret,
-    )(blocks)
+    )(nvalid, blocks)
 
     keep_sorted = out.reshape(-1)[:k_in] > 0.5
     return jnp.zeros((k_in,), bool).at[order].set(keep_sorted)
