@@ -53,9 +53,30 @@ def test_nms_pallas_valid_count_gating():
                                       err_msg=f"n_valid={n_valid}")
 
 
+def test_nms_pallas_staircase_chain():
+    """Adversarial worst case for the in-block fixpoint: a staircase where
+    every box overlaps only its neighbors, so greedy keeps alternate boxes
+    and the suppression-chain depth equals the block size (the fixpoint
+    must run its full 128 iterations instead of the typical <= 8)."""
+    n = 256
+    x = np.arange(n, dtype=np.float32) * 12.0
+    boxes = np.stack(
+        [x, np.zeros(n, np.float32), x + 100.0, np.full(n, 100.0, np.float32)],
+        axis=1,
+    )
+    scores = np.linspace(1.0, 0.01, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    ref = nms_keep(jnp.asarray(boxes), jnp.asarray(scores),
+                   jnp.asarray(valid), 0.7)
+    got = nms_keep_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(valid), 0.7, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert int(np.asarray(got).sum()) == n // 2  # alternate boxes kept
+
+
 def test_nms_pallas_vmap_per_image_counts():
     """vmapped kernel (the decode's per-image layout): each image carries
-    its own valid count through the SMEM scalar."""
+    its own valid count through the in-band nvalid sublane."""
     rng = np.random.default_rng(8)
     b, n = 3, 256
     boxes = np.stack([_random_boxes(rng, n) for _ in range(b)])

@@ -23,10 +23,69 @@ def _report(name: str, diff: float, tol: float) -> bool:
     return ok
 
 
+def _np_greedy_nms_keep(boxes, scores, valid, thresh):
+    """Host reference (torchvision greedy semantics). NOTE: ops.nms.nms_keep
+    dispatches to the Pallas kernel ON TPU, so it cannot serve as the
+    reference here — an earlier version of this check compared the kernel
+    to itself."""
+    keep = np.zeros(len(boxes), bool)
+    sup = ~np.asarray(valid, bool)
+    for i in np.argsort(-np.where(valid, scores, -np.inf), kind="stable"):
+        if sup[i]:
+            continue
+        keep[i] = True
+        ix1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        iy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        ix2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        iy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        union = areas[i] + areas - inter
+        iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+        sup |= iou > thresh
+        sup[i] = True
+    return keep
+
+
+def _gap_threshold(boxes, lo=0.55, hi=0.65):
+    """Pick an NMS threshold centered in the widest gap of the f64 pairwise
+    IoU distribution inside [lo, hi], so that NO comparison in the test
+    data sits within floating-point arithmetic error of the threshold.
+    With a fixed 0.6 the check conflated two different things: algorithmic
+    wrongness and benign ulp-level IoU rounding differences between
+    backends (any two exact greedy NMS implementations — torchvision CUDA
+    included — disagree on pairs a few ulp from the threshold). A
+    gap-centered threshold makes exact set equality a fair AND strict
+    requirement. To stay SENSITIVE to Mosaic's ~2.4e-4-relative-error
+    approximate reciprocal (the bug that motivated the division-free
+    kernel compare), prefer a NARROW gap (bracketing IoUs within ~1e-4 of
+    the threshold, i.e. inside that error's reach but ~1000x beyond ulp
+    noise)."""
+    b = boxes.astype(np.float64)
+    a = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    ix1 = np.maximum(b[:, None, 0], b[None, :, 0])
+    iy1 = np.maximum(b[:, None, 1], b[None, :, 1])
+    ix2 = np.minimum(b[:, None, 2], b[None, :, 2])
+    iy2 = np.minimum(b[:, None, 3], b[None, :, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    union = a[:, None] + a[None, :] - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+    vals = np.unique(iou[(iou > lo) & (iou < hi)])
+    vals = np.concatenate([[lo], vals, [hi]])
+    gaps = np.diff(vals)
+    narrow = np.nonzero((gaps > 1e-5) & (gaps < 2e-4))[0]
+    i = int(narrow[np.argmax(gaps[narrow])]) if narrow.size else int(
+        np.argmax(gaps)
+    )
+    t = float((vals[i] + vals[i + 1]) / 2)
+    assert gaps[i] > 1e-5, "no usable IoU gap — regenerate test data"
+    return t
+
+
 def check_nms() -> bool:
+    import jax
     import jax.numpy as jnp
 
-    from ubteacher_tpu.ops.nms import nms_keep
     from ubteacher_tpu.ops.pallas.nms_pallas import nms_keep_pallas
 
     rng = np.random.default_rng(0)
@@ -40,17 +99,37 @@ def check_nms() -> bool:
     boxes, scores = boxes[order], scores[order]
     valid = np.ones((n,), bool)
     valid[-50:] = False
-    ref = np.asarray(
-        nms_keep(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.6)
-    )
+    t = _gap_threshold(boxes)
+    ref = _np_greedy_nms_keep(boxes, scores, valid, t)
     got = np.asarray(
         nms_keep_pallas(
-            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.6
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), t
         )
     )
-    return _report("nms_keep_pallas (compiled)",
-                   float(np.abs(ref.astype(np.int32)
-                                - got.astype(np.int32)).max()), 0)
+    ok = _report("nms_keep_pallas (compiled)",
+                 float(np.abs(ref.astype(np.int32)
+                              - got.astype(np.int32)).max()), 0)
+
+    # vmapped (the decode's per-image layout), mixed per-image valid counts
+    # — exercises the custom_vmap grid flattening + in-band nvalid gating
+    bsz = 4
+    vboxes = np.stack([boxes] * bsz)
+    vscores = rng.uniform(0, 1, (bsz, n)).astype(np.float32)
+    vvalid = np.zeros((bsz, n), bool)
+    vvalid[0, :3] = True
+    vvalid[1] = rng.random(n) > 0.5
+    vvalid[2] = True
+    got_v = np.asarray(jax.vmap(
+        lambda b, s, v: nms_keep_pallas(b, s, v, t)
+    )(jnp.asarray(vboxes), jnp.asarray(vscores), jnp.asarray(vvalid)))
+    diff = max(
+        float(np.abs(
+            _np_greedy_nms_keep(vboxes[i], vscores[i], vvalid[i], t)
+            .astype(np.int32) - got_v[i].astype(np.int32)
+        ).max())
+        for i in range(bsz)
+    )
+    return _report("nms_keep_pallas vmap (compiled)", diff, 0) and ok
 
 
 def check_roi_align() -> bool:
