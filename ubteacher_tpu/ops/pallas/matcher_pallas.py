@@ -49,9 +49,15 @@ def _iou_chunk(g: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     """(8, 8) gt chunk [x1 y1 x2 y2 area valid 0 0] x (8, W) anchor rows
     [x1 y1 x2 y2 area 0 0 0] -> forced quality (8, W).
 
-    Op-for-op the same arithmetic as ops.boxes.pairwise_iou followed by
-    modeling.matcher.match_quality's invalid-row forcing, so the result is
-    bitwise identical to the XLA path."""
+    Same arithmetic ordering as ops.boxes.pairwise_iou followed by
+    modeling.matcher.match_quality's invalid-row forcing. The division is
+    Newton-refined: Mosaic lowers f32 `a / b` via the hardware approximate
+    reciprocal (~2.4e-4 relative error — enough to flip labels for anchors
+    with IoU that close to the 0.3/0.7 thresholds, where XLA's ~1-ulp
+    division would not), and one refinement step squares the error to
+    ~6e-8, below f32 ulp scale. The kept-set/label outputs then match the
+    XLA path except on exact-ulp boundary ties (none observed across the
+    fuzz seeds or the hardware check)."""
     gx1, gy1, gx2, gy2 = (g[:, i : i + 1] for i in range(4))
     garea = g[:, 4:5]
     gvalid = g[:, 5:6]
@@ -60,7 +66,10 @@ def _iou_chunk(g: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     wy = jnp.maximum(jnp.minimum(gy2, ay2) - jnp.maximum(gy1, ay1), 0.0)
     inter = wx * wy
     union = (garea + aarea) - inter
-    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+    u = jnp.maximum(union, 1e-12)
+    r = 1.0 / u
+    r = r * (2.0 - u * r)  # Newton step: approx-reciprocal error squared
+    iou = jnp.where(union > 0, inter * r, 0.0)
     return jnp.where(gvalid > 0, iou, -1.0)
 
 
