@@ -303,12 +303,79 @@ def check_scatter_rows() -> bool:
     )
 
 
+def _np_stem_truth(x, k, sc, bi):
+    """f64 host reference for the full stem chain. The on-chip XLA f32
+    composition CANNOT serve as truth: XLA's default TPU f32 conv rounds
+    operands through bf16 (measured 2.4e-3 relative, 71%% of elements
+    >1e-4) — the same hazard class as the NMS geometry-transpose find."""
+    x, k = x.astype(np.float64), k.astype(np.float64)
+    b, h, w, _ = x.shape
+    ho, wo = h // 2, w // 2
+    xp = np.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    conv = np.zeros((b, ho, wo, k.shape[-1]))
+    for ky in range(7):
+        for kx in range(7):
+            v = xp[:, ky : ky + 2 * ho - 1 : 2, kx : kx + 2 * wo - 1 : 2]
+            conv += v @ k[ky, kx]
+    conv = np.maximum(conv * sc.astype(np.float64) + bi.astype(np.float64),
+                      0)
+    cp = np.pad(conv, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-np.inf)
+    hp, wp = ho // 2, wo // 2
+    out = np.full((b, hp, wp, conv.shape[-1]), -np.inf)
+    for dy in range(3):
+        for dx in range(3):
+            out = np.maximum(
+                out, cp[:, dy : dy + 2 * hp - 1 : 2, dx : dx + 2 * wp - 1 : 2]
+            )
+    return out
+
+
+def check_stem() -> bool:
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.ops.pallas.stem_pallas import (
+        _pallas_impl, _reference,
+    )
+
+    rng = np.random.default_rng(6)
+    b, h, w, feat = 2, 256, 448, 64
+    xn = (rng.normal(110, 45, (b, h, w, 3)) - 115).astype(np.float32)
+    kn = rng.normal(0, 0.08, (7, 7, 3, feat)).astype(np.float32)
+    scn = rng.uniform(0.5, 2.0, feat).astype(np.float32)
+    bin_ = rng.normal(0, 1, feat).astype(np.float32)
+    x, k = jnp.asarray(xn), jnp.asarray(kn)
+    sc, bi = jnp.asarray(scn), jnp.asarray(bin_)
+
+    truth = _np_stem_truth(xn, kn, scn, bin_)
+    scale = max(1.0, float(np.abs(truth).max()))
+
+    # f32 kernel (Precision.HIGHEST everywhere) must track the f64 truth
+    got32 = np.asarray(_pallas_impl(x, k, sc, bi, jnp.float32, False))
+    ok1 = _report("stem_pallas f32 vs f64 host (compiled)",
+                  float(np.abs(got32 - truth).max()) / scale, 1e-5)
+
+    # bf16: fused vs XLA-bf16, both against the truth — fused must be at
+    # least as accurate as the path it replaces
+    ref16 = np.asarray(_reference(x, k, sc, bi, jnp.bfloat16)).astype(
+        np.float64)
+    got16 = np.asarray(_pallas_impl(x, k, sc, bi, jnp.bfloat16, False)
+                       ).astype(np.float64)
+    denom = np.maximum(np.abs(truth), 1.0)
+    e_ref = float((np.abs(ref16 - truth) / denom).max())
+    e_got = float((np.abs(got16 - truth) / denom).max())
+    ok2 = _report("stem_pallas bf16 vs f64 host (compiled)", e_got,
+                  max(1.5 * e_ref, 0.02))
+    return ok1 and ok2
+
+
 def main() -> None:
     import jax
 
     print("backend:", jax.devices()[0])
     results = [check_nms(), check_matcher(), check_scatter_rows(),
-               check_focal(), check_roi_align(), check_roi_align_grad()]
+               check_focal(), check_stem(), check_roi_align(),
+               check_roi_align_grad()]
     if not all(results):
         sys.exit(1)
     print("all kernels validated on this backend")

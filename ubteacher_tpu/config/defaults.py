@@ -345,6 +345,12 @@ def add_tpu_config(cfg: CN) -> None:
     # than the lane-utilization win) -> off by default; kept for other
     # canvas/batch regimes.
     _C.TPU.STEM_SPACE_TO_DEPTH = False
+    # Stem conv algorithm: "conv" (lax.conv, channel-starved on the MXU),
+    # "s2d" (see above), "im2col" (explicit patches + one dense K=147
+    # matmul), "pallas" (fully fused conv+BN+ReLU+maxpool Pallas kernel,
+    # ops/pallas/stem_pallas.py). Identical outputs and parameter tree in
+    # every mode. STEM_SPACE_TO_DEPTH=True overrides this to "s2d".
+    _C.TPU.STEM_MODE = "conv"
     # Device mesh axis sizes; -1 means "all visible devices" on the data axis.
     _C.TPU.MESH_DATA = -1
     # Host data pipeline workers.

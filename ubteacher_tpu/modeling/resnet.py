@@ -45,22 +45,61 @@ class FrozenBN(nn.Module):
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
-class StemConv(nn.Module):
-    """The 7x7/s2 stem conv, optionally computed space-to-depth.
+class _StemKernelParams(nn.Module):
+    """Declares stem_conv1/kernel without running a conv — the fused
+    Pallas stem consumes the raw parameters. Same name/shape/init as
+    StemConv, so the parameter tree is identical in every stem mode."""
 
-    The naive form feeds a 3-channel image into the MXU: 3/128 lane
-    utilization (profiled at ~7% MXU efficiency, ~30 ms/step across the
-    teacher/student forward+backward instances of the FCOS mutual step).
-    With `space_to_depth`, the input is rearranged to (H/2, W/2, 12) and
-    the SAME kernel is zero-padded 7->8 and regrouped into an equivalent
-    4x4/s1 conv over 12 channels — identical outputs (up to bf16
-    accumulation order), 4x the lane utilization, and no stride-2 input
-    relayout. The parameter tree is unchanged (stem_conv1/kernel, (7,7,3,C)),
-    so torch-converted checkpoints load either way.
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, cin, self.features),
+            jnp.float32,
+        )
+
+
+class _StemNormParams(nn.Module):
+    """Declares stem_conv1_norm/{scale,bias} (same tree as FrozenBN)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class StemConv(nn.Module):
+    """The 7x7/s2 stem conv, with MXU-friendly compute modes.
+
+    The naive form ("conv") feeds a 3-channel image into the MXU: 3/128
+    lane utilization (profiled at ~7% MXU efficiency, ~30 ms/step across
+    the teacher/student forward+backward instances of the FCOS mutual
+    step). Two algebraically identical reformulations:
+
+    - "s2d": input rearranged to (H/2, W/2, 12) and the SAME kernel
+      zero-padded 7->8 and regrouped into an equivalent 4x4/s1 conv over
+      12 channels — 4x the lane utilization, no stride-2 input relayout.
+      Measured slower on this chip (relayout cost), kept for other
+      regimes.
+    - "im2col": explicit patch extraction (49 strided slices concatenated
+      to a (B, H/2, W/2, 147) patch tensor) followed by ONE dense
+      (.., 147) @ (147, C) matmul — the MXU runs a real GEMM instead of a
+      channel-starved convolution. Patch building is pure elementwise
+      data movement XLA fuses into the concat write; the matmul runs at
+      K=147 density instead of K_eff=3.
+
+    The parameter tree is unchanged (stem_conv1/kernel, (7,7,3,C)) in all
+    modes, so torch-converted checkpoints load any of them.
     """
 
     features: int
-    space_to_depth: bool = False
+    mode: str = "conv"  # "conv" | "s2d" | "im2col"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -75,7 +114,29 @@ class StemConv(nn.Module):
             jnp.float32,
         )
         b, h, w, _ = x.shape
-        if not self.space_to_depth or h % 2 or w % 2:
+        if self.mode == "im2col":
+            x = x.astype(self.dtype)
+            ho, wo = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+            xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            views = []
+            for ky in range(7):
+                for kx in range(7):
+                    views.append(
+                        lax.slice(
+                            xp,
+                            (0, ky, kx, 0),
+                            (b, ky + 2 * ho - 1, kx + 2 * wo - 1, cin),
+                            (1, 2, 2, 1),
+                        )
+                    )
+            # (ky, kx, c)-ordered patch axis matches kernel.reshape below
+            patches = jnp.concatenate(views, axis=-1)
+            return lax.dot_general(
+                patches,
+                kernel.reshape(49 * cin, self.features).astype(self.dtype),
+                (((3,), (0,)), ((), ())),
+            )
+        if self.mode != "s2d" or h % 2 or w % 2:
             return lax.conv_general_dilated(
                 x,
                 kernel.astype(self.dtype),
@@ -161,20 +222,34 @@ class ResNet(nn.Module):
     stride_in_1x1: bool = True
     stem_out_channels: int = 64
     res2_out_channels: int = 256
-    stem_space_to_depth: bool = False
+    stem_mode: str = "conv"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        x = x.astype(self.dtype)
         # stem: 7x7/2 + frozen BN + relu + maxpool 3x3/2 (torch paddings)
-        x = StemConv(
-            self.stem_out_channels, space_to_depth=self.stem_space_to_depth,
-            dtype=self.dtype, name="stem_conv1",
-        )(x)
-        x = FrozenBN(self.stem_out_channels, name="stem_conv1_norm")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.stem_mode == "pallas":
+            from ubteacher_tpu.ops.pallas.stem_pallas import stem_conv_pool
+
+            kernel = _StemKernelParams(
+                self.stem_out_channels, name="stem_conv1"
+            )(x.shape[-1])
+            scale, bias = _StemNormParams(
+                self.stem_out_channels, name="stem_conv1_norm"
+            )()
+            x = stem_conv_pool(x, kernel, scale, bias, self.dtype)
+        else:
+            x = x.astype(self.dtype)
+            x = StemConv(
+                self.stem_out_channels, mode=self.stem_mode,
+                dtype=self.dtype, name="stem_conv1",
+            )(x)
+            x = FrozenBN(self.stem_out_channels, name="stem_conv1_norm")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
+        x = x.astype(self.dtype)
 
         num_blocks = RESNET_STAGES[self.depth]
         out_ch = self.res2_out_channels
@@ -212,6 +287,6 @@ def resnet_from_cfg(cfg, dtype=None) -> ResNet:
         stride_in_1x1=r.STRIDE_IN_1X1,
         stem_out_channels=r.STEM_OUT_CHANNELS,
         res2_out_channels=r.RES2_OUT_CHANNELS,
-        stem_space_to_depth=cfg.TPU.STEM_SPACE_TO_DEPTH,
+        stem_mode="s2d" if cfg.TPU.STEM_SPACE_TO_DEPTH else cfg.TPU.STEM_MODE,
         dtype=dtype if dtype is not None else jnp.bfloat16,
     )
