@@ -108,12 +108,38 @@ def test_resnet_pallas_mode_param_tree_and_output():
     va = a.init(jax.random.PRNGKey(0), x)["params"]
     vc = c.init(jax.random.PRNGKey(0), x)["params"]
     assert jax.tree.structure(va) == jax.tree.structure(vc)
-    # same params -> same features (f32, interpret-free CPU fallback path
-    # inside stem_conv_pool still runs the pallas branch via interpret on
-    # CPU backends; outputs must agree with the conv stem)
+    # same params -> same features. NOTE: on CPU backends stem_conv_pool
+    # with interpret=False returns the XLA _reference composition, so this
+    # case covers the param-tree plumbing + fallback only; the kernel
+    # integration is exercised by the pallas_interpret case below.
     ya = a.apply({"params": va}, x)
     yc = c.apply({"params": va}, x)
     for key in ya:
         np.testing.assert_allclose(
             np.asarray(ya[key]), np.asarray(yc[key]), rtol=1e-4, atol=1e-4
         )
+
+
+def test_resnet_pallas_interpret_runs_kernel_on_cpu():
+    # stem_mode="pallas_interpret" forces the Pallas branch through the
+    # interpreter, so the ResNet→kernel integration (param plumbing,
+    # folded weights, shapes) runs on the CPU mesh (round-3 advisor).
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(1, 64, 128, 3).astype(np.float32)
+    )
+    a = ResNet(depth=18, stem_mode="conv", dtype=jnp.float32)
+    c = ResNet(depth=18, stem_mode="pallas_interpret", dtype=jnp.float32)
+    va = a.init(jax.random.PRNGKey(0), x)["params"]
+    ya = a.apply({"params": va}, x)
+    yc = c.apply({"params": va}, x)
+    for key in ya:
+        np.testing.assert_allclose(
+            np.asarray(ya[key]), np.asarray(yc[key]), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_resnet_rejects_unknown_stem_mode():
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    bad = ResNet(depth=18, stem_mode="palas", dtype=jnp.float32)
+    with pytest.raises(ValueError, match="unknown stem_mode"):
+        bad.init(jax.random.PRNGKey(0), x)

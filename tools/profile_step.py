@@ -92,14 +92,23 @@ def capture(args) -> str:
     }
     s, met = mutual_step(state, batch)
     jax.device_get(met["total_loss"])  # compile + honest sync
-    with jax.profiler.trace(args.out):
-        for _ in range(args.steps):
-            s, met = mutual_step(s, batch)
-        jax.device_get(met["total_loss"])
+    # repeats > 1 captures several independent trace windows around the
+    # SAME compiled step (subdirs r0, r1, ...) so callers can take the
+    # minimum device time — the pooled chip has large run-to-run
+    # contention variance (CLAUDE.md).
+    repeats = getattr(args, "repeats", 1)
+    for k in range(repeats):
+        out = args.out if repeats == 1 else f"{args.out}/r{k}"
+        with jax.profiler.trace(out):
+            for _ in range(args.steps):
+                s, met = mutual_step(s, batch)
+            jax.device_get(met["total_loss"])
     return args.out
 
 
-def report(trace_dir: str, steps: int) -> None:
+def aggregate(trace_dir: str, steps: int):
+    """Parse the newest trace under trace_dir into per-step device-time
+    aggregates: (total_ms, by_cat Counter[ms], by_group Counter[ms])."""
     run = sorted(glob.glob(trace_dir + "/plugins/profile/*/"))[-1]
     path = glob.glob(run + "*.trace.json.gz")[0]
     with gzip.open(path) as f:
@@ -129,13 +138,22 @@ def report(trace_dir: str, steps: int) -> None:
         if grp:
             by_group[grp] += d
     denom = steps * 1000.0
-    print(f"total device time: {total / denom:.1f} ms/step")
+    return (
+        total / denom,
+        collections.Counter({k: v / denom for k, v in by_cat.items()}),
+        collections.Counter({k: v / denom for k, v in by_group.items()}),
+    )
+
+
+def report(trace_dir: str, steps: int) -> None:
+    total_ms, by_cat, by_group = aggregate(trace_dir, steps)
+    print(f"total device time: {total_ms:.1f} ms/step")
     print("--- by HLO category ---")
     for n, d in by_cat.most_common(15):
-        print(f"{d / denom:8.2f} ms  {n}")
+        print(f"{d:8.2f} ms  {n}")
     print("--- by model component (tf_op) ---")
     for n, d in by_group.most_common(30):
-        print(f"{d / denom:8.2f} ms  {n}")
+        print(f"{d:8.2f} ms  {n}")
 
 
 def main() -> None:

@@ -306,7 +306,7 @@ def check_scatter_rows() -> bool:
 def _np_stem_truth(x, k, sc, bi):
     """f64 host reference for the full stem chain. The on-chip XLA f32
     composition CANNOT serve as truth: XLA's default TPU f32 conv rounds
-    operands through bf16 (measured 2.4e-3 relative, 71%% of elements
+    operands through bf16 (measured 2.4e-3 relative, 71% of elements
     >1e-4) — the same hazard class as the NMS geometry-transpose find."""
     x, k = x.astype(np.float64), k.astype(np.float64)
     b, h, w, _ = x.shape

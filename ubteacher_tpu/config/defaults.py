@@ -347,9 +347,13 @@ def add_tpu_config(cfg: CN) -> None:
     _C.TPU.STEM_SPACE_TO_DEPTH = False
     # Stem conv algorithm: "conv" (lax.conv, channel-starved on the MXU),
     # "s2d" (see above), "im2col" (explicit patches + one dense K=147
-    # matmul), "pallas" (fully fused conv+BN+ReLU+maxpool Pallas kernel,
-    # ops/pallas/stem_pallas.py). Identical outputs and parameter tree in
-    # every mode. STEM_SPACE_TO_DEPTH=True overrides this to "s2d".
+    # matmul — CAUTION: the (B, H/2, W/2, 147) patch tensor is ~49x the
+    # input if XLA materializes it, ~600 MB bf16 at 8x768x1344; profile
+    # peak HBM before enabling on large canvases), "pallas" (fully fused
+    # conv+BN+ReLU+maxpool Pallas kernel, ops/pallas/stem_pallas.py;
+    # "pallas_interpret" is its test-only interpreted variant). Identical
+    # outputs and parameter tree in every mode. STEM_SPACE_TO_DEPTH=True
+    # overrides this to "s2d".
     _C.TPU.STEM_MODE = "conv"
     # Device mesh axis sizes; -1 means "all visible devices" on the data axis.
     _C.TPU.MESH_DATA = -1

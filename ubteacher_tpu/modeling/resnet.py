@@ -225,10 +225,19 @@ class ResNet(nn.Module):
     stem_mode: str = "conv"
     dtype: Any = jnp.bfloat16
 
+    STEM_MODES = ("conv", "s2d", "im2col", "pallas", "pallas_interpret")
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        # a typo'd mode must not silently fall back to "conv" and lose the
+        # optimization (round-3 advisor finding)
+        if self.stem_mode not in self.STEM_MODES:
+            raise ValueError(
+                f"unknown stem_mode {self.stem_mode!r}; "
+                f"expected one of {self.STEM_MODES}"
+            )
         # stem: 7x7/2 + frozen BN + relu + maxpool 3x3/2 (torch paddings)
-        if self.stem_mode == "pallas":
+        if self.stem_mode.startswith("pallas"):
             from ubteacher_tpu.ops.pallas.stem_pallas import stem_conv_pool
 
             kernel = _StemKernelParams(
@@ -237,7 +246,13 @@ class ResNet(nn.Module):
             scale, bias = _StemNormParams(
                 self.stem_out_channels, name="stem_conv1_norm"
             )()
-            x = stem_conv_pool(x, kernel, scale, bias, self.dtype)
+            # "pallas_interpret" forces the Pallas branch through the
+            # interpreter so CPU tests exercise the ResNet→kernel
+            # integration (compiled TPU coverage: tools/validate_tpu.py)
+            x = stem_conv_pool(
+                x, kernel, scale, bias, self.dtype,
+                self.stem_mode == "pallas_interpret",
+            )
         else:
             x = x.astype(self.dtype)
             x = StemConv(
