@@ -353,8 +353,13 @@ def add_tpu_config(cfg: CN) -> None:
     # conv+BN+ReLU+maxpool Pallas kernel, ops/pallas/stem_pallas.py;
     # "pallas_interpret" is its test-only interpreted variant). Identical
     # outputs and parameter tree in every mode. STEM_SPACE_TO_DEPTH=True
-    # overrides this to "s2d".
-    _C.TPU.STEM_MODE = "conv"
+    # overrides this to "s2d". Default "pallas": the round-4 on-device A/B
+    # (tools/ab_stem.py, min device time of 4 trace windows, mutual step)
+    # measured conv->pallas 290.78->283.95 ms/step FCOS @8+8 and
+    # 248.38->242.94 ms/step RCNN @4+4 — the fused kernel erases the
+    # ~7-11 ms channel-starved stem cluster on both families. On non-TPU
+    # backends the op falls back to the identical XLA composition.
+    _C.TPU.STEM_MODE = "pallas"
     # Device mesh axis sizes; -1 means "all visible devices" on the data axis.
     _C.TPU.MESH_DATA = -1
     # Host data pipeline workers.
