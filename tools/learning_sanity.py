@@ -27,9 +27,15 @@ from pathlib import Path
 import numpy as np
 
 
-def synthetic_coco(root: Path, n_images: int, size: int):
-    """COCO-format dataset of colored rectangles on noise (3 classes)."""
-    rng = np.random.default_rng(0)
+def synthetic_coco(root: Path, n_images: int, size: int, seed: int = 0,
+                   color_jitter: int = 0):
+    """COCO-format dataset of colored rectangles on noise (3 classes).
+
+    color_jitter > 0 adds per-instance uniform color noise (+/-jitter per
+    channel): a handful of labeled images then underdetermines each class's
+    color distribution, which is what gives unlabeled data room to help in
+    the SSOD ablation."""
+    rng = np.random.default_rng(seed)
     images, annotations = [], []
     ann_id = 1
     img_dir = root / "images"
@@ -44,9 +50,13 @@ def synthetic_coco(root: Path, n_images: int, size: int):
             y = int(rng.integers(0, size - h))
             cat = int(rng.integers(1, 4))
             color = np.array(
-                [60 + 60 * cat, 40 * cat, 255 - 50 * cat], np.uint8
+                [60 + 60 * cat, 40 * cat, 255 - 50 * cat], np.int64
             )
-            img[y: y + h, x: x + w] = color
+            if color_jitter:
+                color = color + rng.integers(
+                    -color_jitter, color_jitter + 1, size=3
+                )
+            img[y: y + h, x: x + w] = color.clip(0, 255).astype(np.uint8)
             annotations.append({
                 "id": ann_id, "image_id": i, "category_id": cat,
                 "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
@@ -66,7 +76,8 @@ def synthetic_coco(root: Path, n_images: int, size: int):
     return str(json_path), str(img_dir), arrays
 
 
-def build_cfg(args, outdir: str):
+def build_cfg(args, outdir: str, burnin: int | None = None,
+              steps: int | None = None):
     from ubteacher_tpu.config import add_ubteacher_config, get_cfg
 
     cfg = get_cfg()
@@ -96,7 +107,7 @@ def build_cfg(args, outdir: str):
     cfg.INPUT.MAX_SIZE_TEST = args.size
     cfg.SOLVER.IMG_PER_BATCH_LABEL = 8
     cfg.SOLVER.IMG_PER_BATCH_UNLABEL = 8
-    cfg.SOLVER.MAX_ITER = args.steps
+    cfg.SOLVER.MAX_ITER = args.steps if steps is None else steps
     # from-scratch backbone: gentler LR + clipping (ROUND1_NOTES.md)
     cfg.SOLVER.BASE_LR = 0.002 if args.rcnn else 0.01
     if args.rcnn:
@@ -105,12 +116,101 @@ def build_cfg(args, outdir: str):
         cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 10.0
     cfg.SOLVER.WARMUP_ITERS = 100
     cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
-    cfg.SEMISUPNET.BURN_UP_STEP = args.burnin
+    cfg.SEMISUPNET.BURN_UP_STEP = args.burnin if burnin is None else burnin
+    if getattr(args, "bbox_thresh", None) is not None:
+        cfg.SEMISUPNET.BBOX_THRESHOLD = args.bbox_thresh
     cfg.TEST.EVAL_PERIOD = 0
     cfg.MODEL.WEIGHTS = ""
     cfg.OUTPUT_DIR = outdir
     cfg.freeze()
     return cfg
+
+
+def _mean_metric(outdir: str, key: str):
+    path = Path(outdir) / "metrics.json"
+    if not path.exists():
+        return None
+    vals = [
+        json.loads(line).get(key) for line in path.read_text().splitlines()
+    ]
+    vals = [v for v in vals if v is not None]
+    return round(float(np.mean(vals)), 2) if vals else None
+
+
+def run_ablation(args) -> dict:
+    """Supervised-only vs semi-supervised A/B (VERDICT r3 next #1).
+
+    Both arms train the SAME K labeled images for the SAME total steps and
+    evaluate on a HELD-OUT test set; the SSOD arm additionally sees M extra
+    unlabeled images through the mutual-learning phase. The reference's
+    whole value proposition is that this lifts AP (README.md:5-19;
+    mechanism at reference trainer.py:181-429) — this is the one
+    end-to-end check of the pseudo-label machinery runnable without COCO.
+
+      arm "sup":  BURN_UP_STEP = steps (never leaves supervised burn-in;
+                  the unlabeled stream is fed the labeled images but the
+                  burn-in loss never touches them);
+      arm "ssod": BURN_UP_STEP = --burnin, unlabeled = the M extra images.
+    """
+    from ubteacher_tpu.data.coco import load_coco_json
+    from ubteacher_tpu.engine.trainer import (
+        UBRCNNTeacherTrainer, UBTeacherTrainer,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="ubt_ablation_"))
+    train_json, train_dir, arrays = synthetic_coco(
+        tmp / "train", args.images, args.size, seed=0,
+        color_jitter=args.jitter,
+    )
+    test_json, test_dir, test_arrays = synthetic_coco(
+        tmp / "heldout", 16, args.size, seed=99, color_jitter=args.jitter,
+    )
+    arrays.update(test_arrays)
+    dicts, meta = load_coco_json(train_json, train_dir)
+    test_dicts, _ = load_coco_json(test_json, test_dir)
+    k = args.label_images
+    labeled, unlabeled = dicts[:k], dicts[k:]
+    cls = UBRCNNTeacherTrainer if args.rcnn else UBTeacherTrainer
+    pseudo_key = "num_pseudo" if args.rcnn else "num_pseudo_cls"
+
+    def run(tag: str, burnin: int, unlabel_dicts):
+        datasets = {
+            "train": labeled, "train_unlabel": unlabel_dicts,
+            "test": test_dicts, "meta": meta,
+        }
+        outdir = str(tmp / f"out_{tag}")
+        cfg = build_cfg(args, outdir, burnin=burnin)
+        trainer = cls(cfg, datasets=datasets, image_loader=lambda f: arrays[f])
+        trainer.train()
+        res = {
+            "ap_student": round(float(trainer.test(model="student")["AP"]), 2),
+            "mean_pseudo_boxes": _mean_metric(outdir, pseudo_key),
+        }
+        if burnin < cfg.SOLVER.MAX_ITER:  # teacher exists post burn-in
+            res["ap_teacher"] = round(
+                float(trainer.test(model="teacher")["AP"]), 2
+            )
+        return res
+
+    sup = run("sup", burnin=args.steps, unlabel_dicts=labeled)
+    ssod = run("ssod", burnin=args.burnin, unlabel_dicts=unlabeled)
+    out = {
+        "ablation": "sup_only_vs_ssod",
+        "detector": "rcnn" if args.rcnn else "fcos",
+        "label_images": k,
+        "unlabel_images": len(unlabeled),
+        "steps": args.steps,
+        "burnin": args.burnin,
+        "jitter": args.jitter,
+        "sup": sup,
+        "ssod": ssod,
+        "ssod_beats_sup_student": ssod["ap_student"] > sup["ap_student"],
+        "ssod_beats_sup_teacher": (
+            ssod.get("ap_teacher", -1) > sup["ap_student"]
+        ),
+    }
+    print(json.dumps(out))
+    return out
 
 
 def main() -> None:
@@ -120,7 +220,19 @@ def main() -> None:
     ap.add_argument("--burnin", type=int, default=300)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--images", type=int, default=64)
+    ap.add_argument("--ablation", action="store_true",
+                    help="supervised-only vs SSOD A/B on held-out AP")
+    ap.add_argument("--label-images", type=int, default=8,
+                    help="ablation: labeled images K (rest are unlabeled)")
+    ap.add_argument("--jitter", type=int, default=40,
+                    help="ablation: per-instance color jitter amplitude")
+    ap.add_argument("--bbox-thresh", type=float, default=None,
+                    help="override SEMISUPNET.BBOX_THRESHOLD")
     args = ap.parse_args()
+
+    if args.ablation:
+        run_ablation(args)
+        return
 
     from ubteacher_tpu.data.coco import load_coco_json
     from ubteacher_tpu.engine.trainer import (

@@ -30,8 +30,12 @@ from .augment import (
 )
 
 # image decodes per stream, for tests/diagnostics of the multi-host
-# decode-deduplication path (each process decodes only the rows it owns)
-DECODE_STATS = {"train": 0, "test": 0}
+# decode-deduplication path (each process decodes only the rows it owns).
+# "corrupt" counts rows that failed to decode and were replaced (multi-host:
+# zero image/gt row; single-host: re-drawn sample) — surfaced per-iteration
+# as the corrupt_rows_total metric so silent data rot is observable on long
+# runs (the reference re-draws silently, data/common.py:22-43).
+DECODE_STATS = {"train": 0, "test": 0, "corrupt": 0}
 
 
 def _pad_gt(objs: List[Dict], max_gt: int) -> Dict[str, np.ndarray]:
@@ -225,6 +229,7 @@ class TwoStreamDataLoader:
                     yield prepare(d, rng)
                     break
                 except Exception:
+                    DECODE_STATS["corrupt"] += 1
                     if warned < 5:
                         import logging
 
@@ -268,6 +273,7 @@ class TwoStreamDataLoader:
             DECODE_STATS["train"] += 1
             image = materialize_weak_augment(img, item["geom"])
         except Exception:
+            DECODE_STATS["corrupt"] += 1
             import logging
 
             logging.getLogger("ubteacher_tpu").warning(

@@ -21,6 +21,7 @@ import numpy as np
 from ..checkpoint import TSCheckpointer
 from ..checkpoint.torch_weights import load_pretrained_backbone
 from ..data.coco import divide_label_unlabel, load_coco_json, load_coco_unlabel_json
+from ..data import loader as loader_mod
 from ..data.loader import TestDataLoader, TwoStreamDataLoader
 from ..evaluation import inference_on_dataset
 from ..modeling.fcos_head import build_one_stage_detector
@@ -307,6 +308,11 @@ class UBTeacherTrainer:
                 k: float(v) for k, v in jax.device_get(metrics).items()
             }
             host_metrics["data_time"] = data_time
+            # cumulative corrupt-row count: multi-host corrupt files train
+            # on a zero row (loader._materialize) — make that visible
+            host_metrics["corrupt_rows_total"] = float(
+                loader_mod.DECODE_STATS["corrupt"]
+            )
             self.storage.put_scalars(**host_metrics)
             if cfg.VIS_PERIOD and (it + 1) % cfg.VIS_PERIOD == 0:
                 self._save_visualization(it + 1, batch, mutual=it >= burn_up)
