@@ -1,0 +1,53 @@
+"""SSOD ablation harness shape test (VERDICT r3 next #1).
+
+Runs tools/learning_sanity.run_ablation at tiny scale on the CPU mesh:
+both arms (supervised-only and semi-supervised) must train end-to-end
+through the full host trainer and produce the recorded-JSON shape the
+round notes rely on. AP *lift* is a statistical claim at real scale —
+that is measured on the TPU (ROUND4_NOTES.md); this test guards the
+harness itself: the sup arm never leaves burn-in, the ssod arm reaches
+the mutual phase and produces pseudo boxes.
+
+Reference mechanism under test: the teacher-student mutual step
+(reference: ubteacher/engine/trainer.py:181-429).
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+@pytest.mark.slow
+def test_ablation_shape_tiny():
+    from tools.learning_sanity import run_ablation
+
+    args = types.SimpleNamespace(
+        rcnn=False, steps=10, burnin=4, size=64, images=16,
+        label_images=4, jitter=40, bbox_thresh=None, seed=0,
+    )
+    out = run_ablation(args)
+
+    assert out["ablation"] == "sup_only_vs_ssod"
+    assert out["label_images"] == 4
+    assert out["unlabel_images"] == 12
+    # both arms evaluated on the held-out set: finite APs in [0, 100]
+    for arm in ("sup", "ssod"):
+        ap = out[arm]["ap_student"]
+        assert 0.0 <= ap <= 100.0
+    # the sup arm never leaves burn-in: no teacher AP, no pseudo metric
+    assert "ap_teacher" not in out["sup"]
+    assert out["sup"]["mean_pseudo_boxes"] is None
+    # the ssod arm reaches the mutual phase: teacher evaluated and the
+    # pseudo-box metric recorded. The COUNT can legitimately be 0 here —
+    # a 4-step burn-in teacher clears BBOX_THRESHOLD for nothing (the
+    # documented weak-teacher behavior, CLAUDE.md); gate-aliveness with a
+    # burned-in teacher is asserted by test_sharding_equivalence
+    # (num_pseudo_reg >= 1) and by the TPU ablation run in ROUND4_NOTES.
+    assert 0.0 <= out["ssod"]["ap_teacher"] <= 100.0
+    assert out["ssod"]["mean_pseudo_boxes"] is not None
+    # the comparison booleans the round notes record
+    assert isinstance(out["ssod_beats_sup_student"], bool)

@@ -1,0 +1,161 @@
+"""Host data-pipeline throughput benchmark (VERDICT r3 next #3).
+
+Measures whether `TwoStreamDataLoader` (cv2 decode from disk + weak
+augment + canvas pad, `TPU.DATA_THREADS` workers) can sustain the img/s
+the device side delivers (55 img/s/chip FCOS @8+8). The reference pays
+for its loader with multiprocessing workers (reference
+dataset_mapper.py:82 disk read, DATALOADER.NUM_WORKERS); all other repo
+benches feed synthetic on-device arrays, so this is the first measured
+number for the host side.
+
+Writes ~N synthetic JPEGs at COCO-marginal sizes (the COCO train2017
+size distribution is dominated by 640x480/500x375-class images), then
+iterates the loader standalone and reports sustained img/s per thread
+setting. Pure host benchmark: no device, no jax.
+
+Usage:
+    python tools/bench_loader.py [--images 400] [--batches 40]
+                                 [--threads 0 1 2 4 8] [--once]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+# COCO train2017 marginal sizes: most images are max-dim 640 with a mix of
+# 4:3 / 3:4 / wider; decode cost is realistic for the protocol.
+COCO_LIKE_DIMS = [
+    (480, 640), (640, 480), (427, 640), (640, 427), (375, 500),
+    (426, 640), (612, 612), (640, 360),
+]
+
+
+def write_synthetic_jpegs(root: Path, n: int, seed: int = 0):
+    """n JPEGs with smooth content + rectangles (realistic decode cost —
+    pure noise JPEGs are pathologically large/slow) and a COCO json."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n):
+        h, w = COCO_LIKE_DIMS[int(rng.integers(len(COCO_LIKE_DIMS)))]
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (128 + 100 * np.sin(xx / (20 + 10 * c) + i + c)).astype(
+                    np.uint8
+                )
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+        for _ in range(int(rng.integers(1, 6))):
+            bw, bh = int(rng.integers(40, w // 2)), int(rng.integers(40, h // 2))
+            x, y = int(rng.integers(0, w - bw)), int(rng.integers(0, h - bh))
+            img[y : y + bh, x : x + bw] = rng.integers(0, 255, size=3)
+            annotations.append({
+                "id": ann_id, "image_id": i, "category_id": 1,
+                "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0,
+            })
+            ann_id += 1
+        fname = f"img{i}.jpg"
+        cv2.imwrite(str(img_dir / fname), img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        images.append({"id": i, "file_name": fname, "height": h, "width": w})
+    coco = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "thing"}],
+    }
+    (root / "instances.json").write_text(json.dumps(coco))
+    return str(root / "instances.json"), str(img_dir)
+
+
+def build_cfg(threads: int):
+    """Real protocol geometry: 768x1344 canvas, 8+8 batch, COCO jitter."""
+    from ubteacher_tpu.config import add_ubteacher_config, get_cfg
+
+    cfg = get_cfg()
+    add_ubteacher_config(cfg)
+    cfg.merge_from_file("configs/FCOS/coco-standard/fcos_R_50_ut2_sup1_run0.yaml")
+    cfg.SOLVER.IMG_PER_BATCH_LABEL = 8
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = 8
+    cfg.TPU.DATA_THREADS = threads
+    cfg.freeze()
+    return cfg
+
+
+def bench_one(dicts, threads: int, batches: int, warmup: int = 4) -> dict:
+    from ubteacher_tpu.data import loader as loader_mod
+    from ubteacher_tpu.data.loader import TwoStreamDataLoader
+
+    cfg = build_cfg(threads)
+    dl = TwoStreamDataLoader(
+        cfg, dicts, dicts, seed=0, process_index=0, process_count=1
+    )
+    it = iter(dl)
+    for _ in range(warmup):
+        next(it)
+    d0 = dict(loader_mod.DECODE_STATS)
+    t0 = time.perf_counter()
+    n_img = 0
+    for _ in range(batches):
+        b = next(it)
+        n_img += b["images_label_k"].shape[0] + b["images_unlabel_k"].shape[0]
+    dt = time.perf_counter() - t0
+    d1 = dict(loader_mod.DECODE_STATS)
+    return {
+        "threads": threads,
+        "batches": batches,
+        "img_s": round(n_img / dt, 1),
+        "ms_per_batch": round(1e3 * dt / batches, 1),
+        "decodes": d1["train"] - d0["train"],
+        "corrupt": d1["corrupt"] - d0["corrupt"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--images", type=int, default=400)
+    ap.add_argument("--batches", type=int, default=40)
+    ap.add_argument("--threads", type=int, nargs="+", default=[0, 1, 2, 4, 8])
+    ap.add_argument("--device-img-s", type=float, default=55.0,
+                    help="device demand to compare against (img/s/chip)")
+    args = ap.parse_args()
+
+    from ubteacher_tpu.data.coco import load_coco_json
+
+    tmp = Path(tempfile.mkdtemp(prefix="ubt_loaderbench_"))
+    t0 = time.perf_counter()
+    json_path, img_dir = write_synthetic_jpegs(tmp, args.images)
+    print(f"# wrote {args.images} jpegs in {time.perf_counter()-t0:.1f}s "
+          f"at {img_dir}", file=sys.stderr)
+    dicts, _ = load_coco_json(json_path, img_dir)
+
+    results = []
+    for t in args.threads:
+        r = bench_one(dicts, t, args.batches)
+        r["sustains_device"] = r["img_s"] >= args.device_img_s
+        results.append(r)
+        print(json.dumps(r))
+    best = max(results, key=lambda r: r["img_s"])
+    print(json.dumps({
+        "best_threads": best["threads"],
+        "best_img_s": best["img_s"],
+        "device_img_s": args.device_img_s,
+        "headroom_x": round(best["img_s"] / args.device_img_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

@@ -119,6 +119,7 @@ def build_cfg(args, outdir: str, burnin: int | None = None,
     cfg.SEMISUPNET.BURN_UP_STEP = args.burnin if burnin is None else burnin
     if getattr(args, "bbox_thresh", None) is not None:
         cfg.SEMISUPNET.BBOX_THRESHOLD = args.bbox_thresh
+    cfg.SEED = getattr(args, "seed", 0)
     cfg.TEST.EVAL_PERIOD = 0
     cfg.MODEL.WEIGHTS = ""
     cfg.OUTPUT_DIR = outdir
@@ -158,12 +159,14 @@ def run_ablation(args) -> dict:
     )
 
     tmp = Path(tempfile.mkdtemp(prefix="ubt_ablation_"))
+    seed = getattr(args, "seed", 0)
     train_json, train_dir, arrays = synthetic_coco(
-        tmp / "train", args.images, args.size, seed=0,
+        tmp / "train", args.images, args.size, seed=seed,
         color_jitter=args.jitter,
     )
     test_json, test_dir, test_arrays = synthetic_coco(
-        tmp / "heldout", 16, args.size, seed=99, color_jitter=args.jitter,
+        tmp / "heldout", 16, args.size, seed=seed + 99,
+        color_jitter=args.jitter,
     )
     arrays.update(test_arrays)
     dicts, meta = load_coco_json(train_json, train_dir)
@@ -228,7 +231,22 @@ def main() -> None:
                     help="ablation: per-instance color jitter amplitude")
     ap.add_argument("--bbox-thresh", type=float, default=None,
                     help="override SEMISUPNET.BBOX_THRESHOLD")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the host CPU backend (smoke tests)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="dataset + init seed")
     args = ap.parse_args()
+
+    if args.cpu:
+        # the env pins JAX_PLATFORMS=axon and the axon sitecustomize re-pins
+        # it via jax.config at startup; both must be overridden before the
+        # backend initializes (CLAUDE.md environment rules)
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.ablation:
         run_ablation(args)

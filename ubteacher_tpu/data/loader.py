@@ -16,18 +16,16 @@ AspectRatioGroupedSemiSupDatasetTwoCrop (reference: ubteacher/data/build.py:
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from ..structures import PaddedInstances
-from .augment import (
-    apply_weak_augment,
-    materialize_weak_augment,
-    weak_augment_geometry,
-)
+from .augment import materialize_weak_augment, weak_augment_geometry
 
 # image decodes per stream, for tests/diagnostics of the multi-host
 # decode-deduplication path (each process decodes only the rows it owns).
@@ -36,6 +34,13 @@ from .augment import (
 # as the corrupt_rows_total metric so silent data rot is observable on long
 # runs (the reference re-draws silently, data/common.py:22-43).
 DECODE_STATS = {"train": 0, "test": 0, "corrupt": 0}
+_STATS_LOCK = threading.Lock()
+
+
+def _bump(key: str, n: int = 1) -> None:
+    """Thread-safe DECODE_STATS increment: decodes run on a pool."""
+    with _STATS_LOCK:
+        DECODE_STATS[key] += n
 
 
 def _pad_gt(objs: List[Dict], max_gt: int) -> Dict[str, np.ndarray]:
@@ -154,39 +159,16 @@ class TwoStreamDataLoader:
     def _orientation(self, d: Dict) -> str:
         return "landscape" if d["width"] >= d["height"] else "portrait"
 
-    def _prepare(self, d: Dict, rng: np.random.Generator) -> Dict:
-        img = self._image_loader(d["file_name"])
-        DECODE_STATS["train"] += 1
-        orient = "landscape" if img.shape[1] >= img.shape[0] else "portrait"
-        # crowd annotations are never training targets (reference drops
-        # iscrowd != 0 before building instances, dataset_mapper.py:129);
-        # eval still sees them — the evaluator reads dataset_dicts directly
-        annos = [o for o in d["annotations"] if o.get("iscrowd", 0) == 0]
-        boxes = np.asarray(
-            [o["bbox"] for o in annos], np.float32
-        ).reshape(-1, 4)
-        rec = apply_weak_augment(
-            img, boxes, self.canvases[orient], self.min_size, self.max_size,
-            self.sampling, rng, crop=self.crop,
-        )
-        objs = [
-            {"bbox": rec["boxes"][i], "category_id": o["category_id"]}
-            for i, o in enumerate(annos)
-            if rec["keep"][i]
-        ]
-        gt = _pad_gt(objs, self.max_gt)
-        return {
-            "image": rec["image"],
-            "hw": rec["hw"],
-            "gt": gt,
-            "bucket": rec["canvas"],
-        }
-
     def _prepare_geom(self, d: Dict, rng: np.random.Generator) -> Dict:
-        """Multi-host `_prepare`: identical rng draw sequence and box/gt
-        math from COCO metadata dims alone — no image IO. Pixels for owned
-        rows are materialized later in `_assemble_local`. Trusts the dicts'
-        width/height like the reference's aspect grouping (build.py:161)."""
+        """Sample geometry: the rng draw sequence and box/gt math from COCO
+        metadata dims alone — no image IO. Pixels are materialized later
+        (single-host: a thread pool right after the stream, so cv2 decode
+        parallelizes; multi-host: only owned rows, in `_assemble_local`).
+        Crowd annotations are never training targets (reference drops
+        iscrowd != 0 before building instances, dataset_mapper.py:129);
+        eval still sees them — the evaluator reads dataset_dicts directly.
+        Trusts the dicts' width/height like the reference (aspect grouping
+        at build.py:161; d2's check_image_size makes mismatch an error)."""
         h, w = int(d["height"]), int(d["width"])
         orient = "landscape" if w >= h else "portrait"
         annos = [o for o in d["annotations"] if o.get("iscrowd", 0) == 0]
@@ -210,26 +192,23 @@ class TwoStreamDataLoader:
             "bucket": geom["canvas"],
         }
 
-    def _stream(
-        self, dicts: List[Dict], seed: int, prepare=None
-    ) -> Iterator[Dict]:
-        prepare = prepare or self._prepare
+    def _stream(self, dicts: List[Dict], seed: int) -> Iterator[Dict]:
+        """Infinite geometry-stub stream (no image IO; decode happens in
+        the materialize phase). Bad-metadata fallback: retry with the next
+        index (reference: MapDatasetTwoCrop 3-retry, data/common.py:22-43);
+        failures here are metadata errors, identical on every process, so
+        the retry draw stays aligned across hosts."""
         sampler = _InfiniteSampler(len(dicts), seed)
         rng = np.random.default_rng(seed + 12345)
         warned = 0
         while True:
-            # corrupt-sample fallback: retry with the next index
-            # (reference: MapDatasetTwoCrop 3-retry, data/common.py:22-43).
-            # In the multi-host geometry stream failures are metadata
-            # errors, identical on every process, so the retry draw stays
-            # aligned across hosts.
             for _ in range(3):
                 d = dicts[next(sampler)]
                 try:
-                    yield prepare(d, rng)
+                    yield self._prepare_geom(d, rng)
                     break
                 except Exception:
-                    DECODE_STATS["corrupt"] += 1
+                    _bump("corrupt")
                     if warned < 5:
                         import logging
 
@@ -242,14 +221,14 @@ class TwoStreamDataLoader:
                 raise RuntimeError("3 consecutive corrupt samples")
 
     def _batched_stream(
-        self, dicts: List[Dict], batch_size: int, seed: int, prepare=None
+        self, items: Iterator[Dict], batch_size: int
     ) -> Iterator[List[Dict]]:
         """Aspect-ratio- and scale-bucketed batching: one bucket per chosen
         canvas (reference groups by aspect only, common.py:93-167 — its
         batch-max padding handles scale; fixed shapes need a bucket per
         canvas)."""
         buckets: Dict[tuple, List[Dict]] = {}
-        for item in self._stream(dicts, seed, prepare):
+        for item in items:
             b = buckets.setdefault(item["bucket"], [])
             b.append(item)
             if len(b) == batch_size:
@@ -263,17 +242,34 @@ class TwoStreamDataLoader:
         chunk = n // self.process_count
         return self.process_index * chunk, (self.process_index + 1) * chunk
 
+    @property
+    def _pool(self) -> ThreadPoolExecutor:
+        """Shared decode/augment pool (cv2 releases the GIL for both
+        imdecode and resize, so threads scale). Lazy: the loader object
+        stays cheap to construct and the pool is reused across __iter__."""
+        if getattr(self, "_pool_obj", None) is None:
+            self._pool_obj = ThreadPoolExecutor(
+                max_workers=max(1, self.num_threads),
+                thread_name_prefix="ubt-decode",
+            )
+        return self._pool_obj
+
+    def _materialize_strict(self, item: Dict) -> Dict:
+        """Decode + pixel-augment a geometry stub; raises on a corrupt
+        file (callers choose the replacement policy)."""
+        img = self._image_loader(item["dict"]["file_name"])
+        _bump("train")
+        return dict(item, image=materialize_weak_augment(img, item["geom"]))
+
     def _materialize(self, item: Dict) -> Dict:
-        """Decode + pixel-augment an owned geometry stub. A corrupt file
-        zeroes the image AND its gt row: sample selection already happened
-        on metadata alone on every host, so the owner cannot re-draw
-        without desyncing the shared rng streams."""
+        """Multi-host materialize: a corrupt file zeroes the image AND its
+        gt row — sample selection already happened on metadata alone on
+        every host, so the owner cannot re-draw without desyncing the
+        shared rng streams."""
         try:
-            img = self._image_loader(item["dict"]["file_name"])
-            DECODE_STATS["train"] += 1
-            image = materialize_weak_augment(img, item["geom"])
+            return self._materialize_strict(item)
         except Exception:
-            DECODE_STATS["corrupt"] += 1
+            _bump("corrupt")
             import logging
 
             logging.getLogger("ubteacher_tpu").warning(
@@ -285,7 +281,57 @@ class TwoStreamDataLoader:
             item = dict(
                 item, gt={k: np.zeros_like(v) for k, v in item["gt"].items()}
             )
-        return dict(item, image=image)
+            return dict(item, image=image)
+
+    def _materialized_stream(
+        self, dicts: List[Dict], seed: int
+    ) -> Iterator[Dict]:
+        """Single-host item stream: sequential geometry draws, pooled pixel
+        materialization (a sliding window of in-flight decodes keeps
+        TPU.DATA_THREADS cv2 workers busy while preserving sample order).
+        A corrupt file is dropped and the NEXT drawn sample takes its place
+        — the reference's retry-with-another-index policy (data/common.py:
+        22-43), with the same 3-consecutive-failure limit."""
+        stubs = self._stream(dicts, seed)
+        warned = 0
+
+        def corrupt(consecutive: int) -> int:
+            nonlocal warned
+            _bump("corrupt")
+            if warned < 5:
+                import logging
+
+                logging.getLogger("ubteacher_tpu").warning(
+                    "failed to decode a sample; replacing with the next "
+                    "drawn sample",
+                )
+                warned += 1
+            if consecutive + 1 >= 3:
+                raise RuntimeError("3 consecutive corrupt samples")
+            return consecutive + 1
+
+        if self.num_threads <= 0:  # synchronous: exact decode accounting
+            consecutive = 0
+            for stub in stubs:
+                try:
+                    yield self._materialize_strict(stub)
+                    consecutive = 0
+                except Exception:
+                    consecutive = corrupt(consecutive)
+            return
+        window = max(2 * self.num_threads, 8)
+        futs: collections.deque = collections.deque()
+        consecutive = 0
+        while True:
+            while len(futs) < window:
+                futs.append(self._pool.submit(
+                    self._materialize_strict, next(stubs)
+                ))
+            try:
+                yield futs.popleft().result()
+                consecutive = 0
+            except Exception:
+                consecutive = corrupt(consecutive)
 
     def _assemble_local(
         self, label_items: List[Dict], unlabel_items: List[Dict]
@@ -295,10 +341,13 @@ class TwoStreamDataLoader:
         the global array from per-process local rows."""
         l0, l1 = self._owned(len(label_items))
         u0, u1 = self._owned(len(unlabel_items))
-        return self._assemble(
-            [self._materialize(it) for it in label_items[l0:l1]],
-            [self._materialize(it) for it in unlabel_items[u0:u1]],
-        )
+        owned = label_items[l0:l1] + unlabel_items[u0:u1]
+        if self.num_threads > 0:
+            done = list(self._pool.map(self._materialize, owned))
+        else:
+            done = [self._materialize(it) for it in owned]
+        nl = l1 - l0
+        return self._assemble(done[:nl], done[nl:])
 
     def _assemble(self, label_items: List[Dict], unlabel_items: List[Dict]) -> Dict:
         def stack_images(items):
@@ -325,13 +374,21 @@ class TwoStreamDataLoader:
         }
 
     def __iter__(self) -> Iterator[Dict]:
-        prepare = self._prepare_geom if self.local_rows else None
-        assemble = self._assemble_local if self.local_rows else self._assemble
+        if self.local_rows:
+            # multi-host: bucket geometry stubs; owned rows materialize at
+            # assembly (pooled) so non-owned rows never decode
+            items = self._stream
+            assemble = self._assemble_local
+        else:
+            # single-host: materialize through the decode pool right after
+            # the (sequential) geometry stream, before bucketing
+            items = self._materialized_stream
+            assemble = self._assemble
         label_batches = self._batched_stream(
-            self.label_dicts, self.batch_label, self.seed, prepare
+            items(self.label_dicts, self.seed), self.batch_label
         )
         unlabel_batches = self._batched_stream(
-            self.unlabel_dicts, self.batch_unlabel, self.seed + 7, prepare
+            items(self.unlabel_dicts, self.seed + 7), self.batch_unlabel
         )
         if self.num_threads <= 0:
             for lb, ub in zip(label_batches, unlabel_batches):
@@ -385,6 +442,8 @@ class TestDataLoader:
         }
         self.min_size = cfg.INPUT.MIN_SIZE_TEST
         self.max_size = cfg.INPUT.MAX_SIZE_TEST
+        self.num_threads = cfg.TPU.DATA_THREADS
+        self._pool_obj: Optional[ThreadPoolExecutor] = None
         self._image_loader = image_loader or TwoStreamDataLoader._default_loader
         self._groups = {"landscape": [], "portrait": []}
         for d in dataset_dicts:
@@ -406,10 +465,13 @@ class TestDataLoader:
         images = np.zeros((self.batch_size, ch, cw, 3), np.float32)
         hw = np.zeros((self.batch_size, 2), np.float32)
         scales = np.ones((self.batch_size,), np.float32)
-        ids = []
-        for i, d in enumerate(chunk):
+
+        def load_one(i_d):
+            # decode + resize in a pool thread (cv2 releases the GIL);
+            # each row writes a disjoint slice of the shared arrays
+            i, d = i_d
             img = self._image_loader(d["file_name"])
-            DECODE_STATS["test"] += 1
+            _bump("test")
             h, w = img.shape[:2]
             scale = self.min_size / min(h, w)
             if max(h, w) * scale > self.max_size:
@@ -423,12 +485,22 @@ class TestDataLoader:
             images[i, :nh, :nw] = resized.astype(np.float32)
             hw[i] = (nh, nw)
             scales[i] = scale
-            ids.append(d["image_id"])
+
+        if self.num_threads > 0 and len(chunk) > 1:
+            if self._pool_obj is None:
+                self._pool_obj = ThreadPoolExecutor(
+                    max_workers=max(1, self.num_threads),
+                    thread_name_prefix="ubt-eval-decode",
+                )
+            list(self._pool_obj.map(load_one, enumerate(chunk)))
+        else:
+            for i_d in enumerate(chunk):
+                load_one(i_d)
         return {
             "images": images,
             "hw": hw,
             "scales": scales,
-            "image_ids": ids,
+            "image_ids": [d["image_id"] for d in chunk],
             "num_valid": len(chunk),
         }
 
