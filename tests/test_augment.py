@@ -98,4 +98,9 @@ def test_gaussian_blur_matches_edge_padded_conv():
         out += k[t] * tmp[t:t + x.shape[0], half:-half]
 
     got = np.asarray(_gaussian_blur(jnp.asarray(x), jnp.float32(sigma)))
-    np.testing.assert_allclose(got, out, atol=2e-5)
+    # the blur matmuls run in bf16 (operand rounding ~2^-9 per stage, two
+    # stages): tolerance sits at ~2 uint8 quanta — still below the visible
+    # noise floor of the reference's uint8 PIL blur, and half the cost of
+    # the f32 einsums (see _gaussian_blur docstring)
+    np.testing.assert_allclose(got, out, atol=8e-3)
+    assert np.abs(got - out).mean() < 2e-3

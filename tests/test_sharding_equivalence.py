@@ -189,6 +189,9 @@ def test_fcos_mutual_sharded_matches_unsharded():
     # overfit the tiny model onto the fixed synthetic batch quickly
     cfg.SOLVER.BASE_LR = 0.02
     cfg.SOLVER.WARMUP_ITERS = 0
+    # BBOX_THRESHOLD[_REG] are calibrated below from the burned-in
+    # teacher's actual decoded scores (see _calibrate_threshold) — the
+    # fixture must not depend on where 40 steps happen to land
     cfg.freeze()
 
     model = build_one_stage_detector(cfg)
@@ -197,7 +200,7 @@ def test_fcos_mutual_sharded_matches_unsharded():
         "params"
     ]
     tx = build_optimizer(cfg, params)
-    burnin, mutual = make_fcos_train_steps(cfg, model, tx)
+    burnin, _ = make_fcos_train_steps(cfg, model, tx)
 
     rng = np.random.default_rng(3)
     m = cfg.TPU.MAX_GT
@@ -243,6 +246,62 @@ def test_fcos_mutual_sharded_matches_unsharded():
     # SELECTS and loss_fcos_loc_pseudo is exercised at a nonzero value.
     # state.step=1 (> BURN_UP_STEP=0) so the EMA keeps the teacher distinct
     # instead of the boundary copy overwriting it with the student.
+    # --- calibrate the pseudo thresholds from the teacher's ACTUAL decoded
+    # scores. The fixture's point is that pseudo-set membership must be
+    # identical on both shardings; a fixed 0.5 threshold made that hinge on
+    # where the 40-step burn-in trajectory happens to land (any change to
+    # the in-graph strong aug — e.g. the bf16 blur — shifted it enough to
+    # empty the pseudo set). Placing each threshold mid-way across the
+    # WIDEST score gap near the top guarantees a non-empty set AND a margin
+    # orders of magnitude above conv-scheduling ulps, by construction.
+    from ubteacher_tpu.modeling.fcos_outputs import (
+        compute_locations, fcos_decode, fcos_loss_config,
+        level_feature_sizes,
+    )
+
+    fc = cfg.MODEL.FCOS
+    fcfg = fcos_loss_config(cfg)
+    strides = list(fc.FPN_STRIDES)
+    hw = jnp.broadcast_to(jnp.asarray([h, w], jnp.float32)[None], (b, 2))
+    dense_t = model.apply(
+        {"params": jax.tree.map(jnp.asarray, teacher_tree)}, imgs, hw
+    )
+    grid = compute_locations((h, w), strides)
+    lengths = [fh * fw for fh, fw in level_feature_sizes((h, w), strides)]
+
+    def _teacher_scores(nms_method):
+        det = fcos_decode(
+            dense_t, grid, lengths, hw, fcfg, nms_method=nms_method,
+            pre_nms_thresh=fc.INFERENCE_TH_TRAIN,
+            pre_nms_topk=fc.PRE_NMS_TOPK_TRAIN,
+            post_nms_topk=fc.POST_NMS_TOPK_TRAIN,
+            nms_thresh=fc.NMS_TH,
+            total_candidates=cfg.TPU.NMS_CANDIDATES,
+        )
+        s = np.asarray(jax.device_get(det.scores))[
+            np.asarray(jax.device_get(det.mask))
+        ]
+        return np.sort(s)[::-1]
+
+    def _calibrate_threshold(scores, floor=0.05):
+        s = np.concatenate([scores[scores > floor], [floor]])
+        assert s.size >= 2, f"teacher produced no detections above {floor}"
+        gaps = s[:-1] - s[1:]
+        i = int(np.argmax(gaps))
+        assert gaps[i] > 1e-3, f"no usable score gap: {s[:8]}"
+        return float((s[i] + s[i + 1]) / 2)
+
+    thr_cls = _calibrate_threshold(_teacher_scores(fc.NMS_CRITERIA_TRAIN))
+    thr_reg = _calibrate_threshold(
+        _teacher_scores(fc.NMS_CRITERIA_REG_TRAIN)
+    )
+    cfg2 = cfg.clone()
+    cfg2.defrost()
+    cfg2.SEMISUPNET.BBOX_THRESHOLD = thr_cls
+    cfg2.SEMISUPNET.BBOX_THRESHOLD_REG = thr_reg
+    cfg2.freeze()
+    _, mutual = make_fcos_train_steps(cfg2, model, tx)
+
     def make_state():
         s = FCOSTrainState.create(jax.tree.map(jnp.asarray, trained), tx)
         return s.replace(

@@ -112,3 +112,37 @@ def test_loader_drops_crowd_annotations():
     dl2 = TwoStreamDataLoader(cfg, dicts + only_crowd, dicts, seed=0,
                               image_loader=lambda _: img)
     assert len(dl2.label_dicts) == 4
+
+
+def test_setup_logger_adds_file_handler_on_later_call(tmp_path):
+    """A process that initialized the logger earlier (another trainer run,
+    an unrelated import) must still get a log.txt FileHandler for a NEW
+    output dir — regression: an `if lg.handlers: return` guard skipped
+    file logging for every run after the first, so full-suite CLI runs
+    produced no out/log.txt (reference analog: d2 setup_logger is cached
+    PER output location, not globally)."""
+    import logging
+
+    from ubteacher_tpu.utils.events import setup_logger
+
+    lg = logging.getLogger("ubteacher_tpu")
+    old = list(lg.handlers)
+    try:
+        lg.handlers.clear()
+        setup_logger()  # console-only init, as an earlier run would do
+        d1 = tmp_path / "run1"
+        setup_logger(str(d1))
+        lg.info("hello run1")
+        assert (d1 / "log.txt").exists()
+        assert "hello run1" in (d1 / "log.txt").read_text()
+        # idempotent: same dir again adds no duplicate handlers
+        n = len(lg.handlers)
+        setup_logger(str(d1))
+        assert len(lg.handlers) == n
+        # exactly one console StreamHandler survives repeated calls
+        assert sum(type(h) is logging.StreamHandler for h in lg.handlers) == 1
+    finally:
+        for h in lg.handlers:
+            if h not in old:
+                h.close()
+        lg.handlers[:] = old

@@ -26,8 +26,37 @@ from .box_regression import Box2BoxTransform
 from .matcher import match, match_quality, random_priority_topk
 
 
+class _Conv1x1Params(nn.Module):
+    """Declares a 1x1 conv's kernel/bias without applying it — same
+    names/shapes/inits as the nn.Conv it replaces, so converted reference
+    checkpoints (checkpoint/torch_weights.py) load unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.01),
+            (1, 1, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class RPNHead(nn.Module):
-    """Shared 3x3 conv + 1x1 objectness / deltas (D2 StandardRPNHead)."""
+    """Shared 3x3 conv + 1x1 objectness / deltas (D2 StandardRPNHead).
+
+    The two 1x1 heads are applied as ONE fused matmul over a concatenated
+    (conv_dim, A + A*4) kernel, then split: both are badly output-lane-
+    starved (3 and 12 of 128 lanes), so their cost is reading the
+    (B, H, W, 256) tower activation — fused, it is read once instead of
+    twice in the forward AND once instead of twice in each of the weight-
+    gradient and input-gradient passes (profiled ~5 ms/step at 768x1344
+    batch 8+8). Column-blocked matmuls are exact, so logits/deltas are
+    bitwise what the separate convs produce; the parameter tree is
+    unchanged (_Conv1x1Params)."""
 
     num_anchors: int = 3
     conv_dim: int = 256
@@ -40,34 +69,36 @@ class RPNHead(nn.Module):
             kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
             name="conv",
         )
-        obj = nn.Conv(
-            self.num_anchors, (1, 1),
-            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
-            name="objectness_logits",
+        a = self.num_anchors
+        k_obj, b_obj = _Conv1x1Params(a, name="objectness_logits")(
+            self.conv_dim
         )
-        deltas = nn.Conv(
-            self.num_anchors * 4, (1, 1),
-            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
-            name="anchor_deltas",
+        k_del, b_del = _Conv1x1Params(a * 4, name="anchor_deltas")(
+            self.conv_dim
         )
+        k_all = jnp.concatenate(
+            [k_obj.reshape(self.conv_dim, a), k_del.reshape(self.conv_dim, a * 4)],
+            axis=-1,
+        ).astype(self.dtype)                                  # (C, A + A*4)
+        b_all = jnp.concatenate([b_obj, b_del]).astype(self.dtype)
         logits, out_deltas = [], []
         for f in features:
             t = nn.relu(conv(f))
             b = f.shape[0]
+            y = (
+                jax.lax.dot_general(
+                    t.astype(self.dtype), k_all, (((3,), (0,)), ((), ()))
+                )
+                + b_all
+            ).astype(jnp.float32)                             # (B, H, W, 5A)
             # (B, H, W, A) -> (B, H*W, A) and (B, H, W, A*4) -> (B, H*W, A, 4):
             # ONLY major dims are merged, the tiny cell-anchor dim stays
             # minor. Flattening A into the row dim would be a lane->sublane
             # relayout of a 3-channel (lane-padded 43x) buffer — profiled as
             # ~27 ms/step of pure layout copies at 768x1344 batch 4+4.
             # Anchor order stays grid-major with cell anchor innermost.
-            logits.append(
-                obj(t).astype(jnp.float32).reshape(b, -1, self.num_anchors)
-            )
-            out_deltas.append(
-                deltas(t).astype(jnp.float32).reshape(
-                    b, -1, self.num_anchors, 4
-                )
-            )
+            logits.append(y[..., :a].reshape(b, -1, a))
+            out_deltas.append(y[..., a:].reshape(b, -1, a, 4))
         return logits, out_deltas
 
 
@@ -279,13 +310,16 @@ def find_top_proposals(
             _, loc_sel = jax.lax.top_k(loc_best, k_loc)    # (k_loc,)
             flat = lvl_scores[loc_sel].reshape(-1)         # (k_loc*A,) small
             top, idx = jax.lax.top_k(flat, k)
-            # global flat anchor index (grid-major, cell-anchor inner)
-            aidx = (loc_sel[idx // a_cell] + loc_offset) * a_cell + (
-                idx % a_cell
-            )
-            lvl_deltas = jax.lax.dynamic_slice_in_dim(
-                deltas, loc_offset, nloc
-            )[loc_sel].reshape(-1, 4)[idx]                 # (k, 4)
+            # absolute location row + cell lane of each selected anchor;
+            # deltas are gathered ONCE from the full (L, A, 4) tensor at
+            # (row, lane) — the former two-stage gather ([loc_sel] then
+            # [idx] over the flattened (k_loc*A, 4) intermediate) moved
+            # 3x the rows and profiled ~5 ms/step of gather fusions at
+            # batch 8+8 (gathers on v5e pay per row, not per byte)
+            row_abs = loc_sel[idx // a_cell] + loc_offset  # (k,)
+            lane = idx % a_cell
+            aidx = row_abs * a_cell + lane
+            lvl_deltas = deltas[row_abs, lane]             # (k, 4)
             boxes = box2box.apply_deltas(lvl_deltas, anchors[aidx])
             boxes = clip_boxes(boxes, hw[0], hw[1])
             pad = k_max - k

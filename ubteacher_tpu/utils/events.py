@@ -99,19 +99,30 @@ class EventStorage:
 
 
 def setup_logger(output_dir: str | None = None) -> logging.Logger:
+    """Idempotent per handler: a second call in the same process (second
+    `main()` invocation, test suite) still attaches the FileHandler for a
+    NEW output_dir — an early `if lg.handlers: return` would silently skip
+    log.txt for every run after the first."""
     lg = logging.getLogger("ubteacher_tpu")
-    if lg.handlers:
-        return lg
     lg.setLevel(logging.INFO)
     fmt = logging.Formatter(
         "[%(asctime)s %(name)s]: %(message)s", datefmt="%m/%d %H:%M:%S"
     )
-    sh = logging.StreamHandler()
-    sh.setFormatter(fmt)
-    lg.addHandler(sh)
+    if not any(
+        type(h) is logging.StreamHandler for h in lg.handlers
+    ):
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        lg.addHandler(sh)
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
-        fh = logging.FileHandler(os.path.join(output_dir, "log.txt"))
-        fh.setFormatter(fmt)
-        lg.addHandler(fh)
+        path = os.path.abspath(os.path.join(output_dir, "log.txt"))
+        if not any(
+            isinstance(h, logging.FileHandler)
+            and getattr(h, "baseFilename", None) == path
+            for h in lg.handlers
+        ):
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
+            lg.addHandler(fh)
     return lg
