@@ -40,6 +40,45 @@ import numpy as np
 REFERENCE_IMG_PER_SEC_PER_CHIP = 11.4  # estimated; see module docstring
 BASELINE_ERROR_BAND = 0.4  # +/-40%: derivation uncertainty, docstring
 
+# MFU basis (VERDICT r4 #2): TPU v5e peak dense bf16 throughput is 197
+# TFLOP/s/chip (Google Cloud TPU v5e spec sheet: 394 TOPS int8 / 197
+# TFLOPS bf16). Model FLOPs per mutual step come from XLA's HLO cost
+# analysis of the EXACT lowered step (tools/mfu.py; cross-checked there
+# against an analytic conv count, ratio 1.15x/1.43x), regenerated via
+# `python tools/mfu.py` and committed as tools/flops_mutual.json.
+PEAK_BF16_FLOPS_V5E = 197e12
+IMGS_PER_STEP_PER_CHIP = 16  # both benches: 8 labeled + 8 unlabeled
+
+
+def _mfu_fields(fcos_img_s: float, rcnn_img_s: float) -> dict:
+    """mfu = flops_per_step / device_step_seconds / peak_bf16_flops.
+
+    Step seconds from the measured wall-clock throughput of the chained
+    20-step window (the only honest sync the axon runtime allows) — a
+    LOWER bound on true device MFU under host/tunnel overhead."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "tools/flops_mutual.json")
+    try:
+        with open(path) as f:
+            flops = json.load(f)
+    except OSError:
+        return {}
+    out = {}
+    for fam, img_s in (("fcos", fcos_img_s), ("rcnn", rcnn_img_s)):
+        if fam in flops and img_s > 0:
+            step_s = IMGS_PER_STEP_PER_CHIP / img_s
+            out[f"{fam}_mfu"] = round(
+                flops[fam]["flops_per_step"] / step_s / PEAK_BF16_FLOPS_V5E,
+                4,
+            )
+    if out:
+        out["mfu_basis"] = (
+            "v5e peak bf16 197 TFLOP/s; model FLOPs per step from "
+            "lowered-HLO cost_analysis (tools/flops_mutual.json)"
+        )
+    return out
+
 
 def _vs_baseline_fields(value: float) -> dict:
     """Point ratio + explicit range acknowledging the estimated baseline."""
@@ -67,10 +106,13 @@ WARMUP = 3
 
 def main() -> None:
     """Default driver entry: ONE JSON line with the FCOS mutual-step
-    throughput as the headline metric and the RCNN mutual-step throughput
-    as a sub-metric (both driver-captured; VERDICT r2 weak #4)."""
+    throughput as the headline metric, the RCNN mutual-step throughput,
+    per-family MFU (VERDICT r4 #2), and eval-path latency (VERDICT r4 #9)
+    as sub-metrics (all driver-captured)."""
     fcos = measure_fcos()
     rcnn = measure_rcnn()
+    fcos_eval = measure_inference(rcnn=False)
+    rcnn_eval = measure_inference(rcnn=True)
     print(
         json.dumps(
             {
@@ -80,6 +122,9 @@ def main() -> None:
                 **_vs_baseline_fields(fcos),
                 "fcos_img_s_chip": round(fcos, 3),
                 "rcnn_img_s_chip": round(rcnn, 3),
+                **_mfu_fields(fcos, rcnn),
+                "fcos_eval_ms_img": round(fcos_eval, 2),
+                "rcnn_eval_ms_img": round(rcnn_eval, 2),
             }
         )
     )
@@ -167,8 +212,8 @@ def measure_fcos() -> float:
     return imgs_per_step * STEPS / dt / n_chips
 
 
-def bench_inference(rcnn: bool = False) -> None:
-    """Secondary metric: eval-path latency (batch 1, test canvas)."""
+def measure_inference(rcnn: bool = False) -> float:
+    """Eval-path latency in ms/img (batch 1, test canvas)."""
     import jax
 
     from ubteacher_tpu.config import add_ubteacher_config, get_cfg
@@ -212,12 +257,17 @@ def bench_inference(rcnn: bool = False) -> None:
     for _ in range(n):
         dets = infer(params, images, hw)
     jax.device_get(dets.boxes)
-    dt = (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0) / n * 1000
+
+
+def bench_inference(rcnn: bool = False) -> None:
+    """Standalone eval-latency entry (bench.py --inference [--rcnn])."""
+    value = measure_inference(rcnn)
     print(
         json.dumps(
             {
                 "metric": ("rcnn" if rcnn else "fcos") + "_eval_ms_per_image",
-                "value": round(dt * 1000, 2),
+                "value": round(value, 2),
                 "unit": "ms/img",
                 "vs_baseline": 0.0,
             }

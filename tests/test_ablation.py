@@ -51,3 +51,28 @@ def test_ablation_shape_tiny():
     assert out["ssod"]["mean_pseudo_boxes"] is not None
     # the comparison booleans the round notes record
     assert isinstance(out["ssod_beats_sup_student"], bool)
+
+
+@pytest.mark.slow
+def test_ablation_oracle_pseudo_rcnn():
+    """TPU.ORACLE_PSEUDO positive control (VERDICT r4 next #1): the RCNN
+    mutual step consumes the unlabeled stream's ground truth as pseudo
+    labels. Unlike the teacher-generated path (where a 4-step burn-in
+    teacher passes ~0 boxes through the 0.7 gate), the oracle set is
+    non-empty from the FIRST mutual step — so a nonzero mean pseudo count
+    here proves the oracle plumbing (loader gt_unlabel -> mutual step)
+    is live end-to-end."""
+    from tools.learning_sanity import run_ablation
+
+    args = types.SimpleNamespace(
+        rcnn=True, steps=8, burnin=3, size=64, images=16,
+        label_images=4, jitter=40, bbox_thresh=None, seed=0,
+        oracle_pseudo=True,
+    )
+    out = run_ablation(args)
+    assert out["oracle_pseudo"] is True
+    # synthetic images carry 1-3 gt boxes each; an 8-image unlabeled batch
+    # must therefore show a strictly positive oracle pseudo count
+    assert out["ssod"]["mean_pseudo_boxes"] > 0
+    for arm in ("sup", "ssod"):
+        assert 0.0 <= out[arm]["ap_student"] <= 100.0

@@ -104,3 +104,29 @@ def test_gaussian_blur_matches_edge_padded_conv():
     # the f32 einsums (see _gaussian_blur docstring)
     np.testing.assert_allclose(got, out, atol=8e-3)
     assert np.abs(got - out).mean() < 2e-3
+
+
+def test_blur_band_matrix_exact_f32():
+    """Weight CONSTRUCTION stays exact independent of the bf16 rounding
+    budget above (ADVICE r4): the f32 band matrix must equal a numpy
+    edge-padded-convolution matrix to f32 precision, and every row must
+    sum to 1 (the kernel is normalized, so blur preserves constants)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ubteacher_tpu.data.augment import _blur_band_matrix
+
+    sigma, half, n = 0.7, 4, 23
+    d = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(d**2) / (2 * sigma**2))
+    k /= k.sum()
+
+    ref = np.zeros((n, n), np.float64)
+    for i in range(n):
+        for t in range(-half, half + 1):
+            ref[i, int(np.clip(i + t, 0, n - 1))] += k[t + half]
+
+    got = np.asarray(
+        _blur_band_matrix(n, jnp.asarray(k, jnp.float32), half)
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got.sum(axis=1), 1.0, atol=1e-6)

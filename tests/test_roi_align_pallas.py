@@ -44,7 +44,14 @@ def _make_case(seed=0, B=2, R=12, C=128, H=96, W=160, max_sz=380):
     return tuple(feats), pyr, jnp.asarray(boxes)
 
 
-def test_forward_matches_exact_full_map():
+# both kernel variants stay covered even though CI runs the env-default
+# ('tiled'): the retained per-roi A/B baseline (UBT_ROIALIGN_FWD/BWD=roi)
+# must not silently rot (ADVICE r4)
+@pytest.mark.parametrize("impl", ["tiled", "roi"])
+def test_forward_matches_exact_full_map(impl, monkeypatch):
+    from ubteacher_tpu.ops.pallas import roi_align_pallas as rap
+
+    monkeypatch.setattr(rap, "_FWD_IMPL", impl)
     feats, pyr, boxes = _make_case()
     exact = multilevel_roi_align(pyr, boxes, IN_FEATURES, 7, 2, method="matmul")
     got = multilevel_roi_align_pallas(
@@ -55,7 +62,11 @@ def test_forward_matches_exact_full_map():
     )
 
 
-def test_backward_matches_exact_full_map():
+@pytest.mark.parametrize("impl", ["tiled", "roi"])
+def test_backward_matches_exact_full_map(impl, monkeypatch):
+    from ubteacher_tpu.ops.pallas import roi_align_pallas as rap
+
+    monkeypatch.setattr(rap, "_BWD_IMPL", impl)
     feats, pyr, boxes = _make_case(seed=1)
 
     def loss_pallas(fs):

@@ -119,6 +119,8 @@ def build_cfg(args, outdir: str, burnin: int | None = None,
     cfg.SEMISUPNET.BURN_UP_STEP = args.burnin if burnin is None else burnin
     if getattr(args, "bbox_thresh", None) is not None:
         cfg.SEMISUPNET.BBOX_THRESHOLD = args.bbox_thresh
+    if getattr(args, "oracle_pseudo", False):
+        cfg.TPU.ORACLE_PSEUDO = True
     cfg.SEED = getattr(args, "seed", 0)
     cfg.TEST.EVAL_PERIOD = 0
     cfg.MODEL.WEIGHTS = ""
@@ -205,6 +207,7 @@ def run_ablation(args) -> dict:
         "steps": args.steps,
         "burnin": args.burnin,
         "jitter": args.jitter,
+        "oracle_pseudo": bool(getattr(args, "oracle_pseudo", False)),
         "sup": sup,
         "ssod": ssod,
         "ssod_beats_sup_student": ssod["ap_student"] > sup["ap_student"],
@@ -231,6 +234,10 @@ def main() -> None:
                     help="ablation: per-instance color jitter amplitude")
     ap.add_argument("--bbox-thresh", type=float, default=None,
                     help="override SEMISUPNET.BBOX_THRESHOLD")
+    ap.add_argument("--oracle-pseudo", action="store_true",
+                    help="ablation positive control: feed the unlabeled "
+                         "stream's ground truth as the pseudo-label set "
+                         "(TPU.ORACLE_PSEUDO) in the SSOD arm")
     ap.add_argument("--cpu", action="store_true",
                     help="run on the host CPU backend (smoke tests)")
     ap.add_argument("--seed", type=int, default=0,

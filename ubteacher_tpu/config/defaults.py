@@ -368,6 +368,15 @@ def add_tpu_config(cfg: CN) -> None:
     # build.py:114); with a fixed TEST_CANVAS the results are identical at
     # any batch, and batching amortizes the per-dispatch overheads.
     _C.TPU.EVAL_BATCH = 8
+    # DIAGNOSTIC (no reference counterpart): replace the teacher's pseudo
+    # labels with the unlabeled stream's GROUND TRUTH (confidence 1.0,
+    # boundary-std logit ORACLE_BOX_STD in data/loader.py) during the
+    # mutual phase. A positive control for the pseudo-label CONSUMPTION
+    # path: with perfect pseudo labels the student must improve over
+    # supervised-only, independent of teacher quality. Requires unlabeled
+    # dataset dicts that carry annotations (e.g. the learning_sanity
+    # ablation); real unlabeled sets yield empty oracle sets.
+    _C.TPU.ORACLE_PSEUDO = False
 
 
 def get_cfg() -> CN:

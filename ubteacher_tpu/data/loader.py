@@ -36,6 +36,14 @@ from .augment import materialize_weak_augment, weak_augment_geometry
 DECODE_STATS = {"train": 0, "test": 0, "corrupt": 0}
 _STATS_LOCK = threading.Lock()
 
+# TPU.ORACLE_PSEUDO: boundary-uncertainty logit attached to oracle (ground
+# truth fed as pseudo labels) boxes. Teacher loc-confidence in the tsbetter
+# gates is 1 - sigmoid(std) (fast_rcnn.py box_reg_pseudo_loss_tsbetter,
+# fcos_outputs.py ts_locvar_better): -6.0 -> confidence 0.9975, above any
+# shipped T_CERT/TS_BETTER_CERT, so the oracle set passes the gate wherever
+# the student is less certain — the intended positive-control behavior.
+ORACLE_BOX_STD = -6.0
+
 
 def _bump(key: str, n: int = 1) -> None:
     """Thread-safe DECODE_STATS increment: decodes run on a pool."""
@@ -145,6 +153,7 @@ class TwoStreamDataLoader:
         )
         self.seed = seed
         self.num_threads = cfg.TPU.DATA_THREADS
+        self.oracle = cfg.TPU.ORACLE_PSEUDO
         self._image_loader = image_loader or self._default_loader
 
     @staticmethod
@@ -356,22 +365,30 @@ class TwoStreamDataLoader:
         def stack_hw(items):
             return np.stack([it["hw"] for it in items])
 
-        gt = PaddedInstances(
-            boxes=np.stack([it["gt"]["boxes"] for it in label_items]),
-            classes=np.stack([it["gt"]["classes"] for it in label_items]),
-            scores=np.ones(
-                (len(label_items), self.max_gt), np.float32
-            ),
-            box_std=np.zeros((len(label_items), self.max_gt, 4), np.float32),
-            mask=np.stack([it["gt"]["mask"] for it in label_items]),
-        )
-        return {
+        def stack_gt(items, box_std: float = 0.0):
+            return PaddedInstances(
+                boxes=np.stack([it["gt"]["boxes"] for it in items]),
+                classes=np.stack([it["gt"]["classes"] for it in items]),
+                scores=np.ones((len(items), self.max_gt), np.float32),
+                box_std=np.full(
+                    (len(items), self.max_gt, 4), box_std, np.float32
+                ),
+                mask=np.stack([it["gt"]["mask"] for it in items]),
+            )
+
+        out = {
             "images_label_k": stack_images(label_items),
-            "gt_label": gt,
+            "gt_label": stack_gt(label_items),
             "label_hw": stack_hw(label_items),
             "images_unlabel_k": stack_images(unlabel_items),
             "unlabel_hw": stack_hw(unlabel_items),
         }
+        if self.oracle:
+            # positive-control mode (TPU.ORACLE_PSEUDO): ship the unlabeled
+            # stream's ground truth so the mutual step can consume it as a
+            # perfect pseudo-label set (confidence 1.0, std ORACLE_BOX_STD)
+            out["gt_unlabel"] = stack_gt(unlabel_items, ORACLE_BOX_STD)
+        return out
 
     def __iter__(self) -> Iterator[Dict]:
         if self.local_rows:

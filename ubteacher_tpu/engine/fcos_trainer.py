@@ -162,22 +162,11 @@ def make_fcos_train_steps(
             total_candidates=cfg.TPU.NMS_CANDIDATES,
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def mutual_step(state: FCOSTrainState, batch: Dict[str, Any]):
-        """Mutual-learning step (reference: trainer.py:212-429)."""
-        # EMA cadence (reference: trainer.py:213-222): copy at burn-in
-        # boundary (keep 0), EMA every TEACHER_UPDATE_ITER, else hold.
-        at_boundary = state.step == burn_up
-        on_cadence = ((state.step - burn_up) % update_iter) == 0
-        keep_rate = jnp.where(
-            at_boundary, 0.0, jnp.where(on_cadence, ema_keep, 1.0)
-        )
-        teacher = _ema_update(state.teacher, state.student, keep_rate)
+    def _teacher_pseudo_sets(teacher, unl_k, unlabel_hw):
+        """Teacher forward + BOTH NMS passes + PSEUDO_BBOX_SAMPLE dispatch
+        (reference: trainer.py:231-294) -> (pseudo_cls, pseudo_reg)."""
+        from ..modeling.fcos_outputs import threshold_pseudo_labels_cls_ctr
 
-        # teacher forward (no grad by construction: outside loss_fn)
-        unl_k = batch["images_unlabel_k"]
-        unlabel_hw = _hw_or_canvas(batch, "unlabel_hw", unl_k)
-        label_hw = _hw_or_canvas(batch, "label_hw", batch["images_label_k"])
         dense_t = model.apply({"params": teacher}, unl_k, unlabel_hw)
         det_cls = _decode_teacher(
             dense_t, unl_k, f.NMS_CRITERIA_TRAIN, unlabel_hw
@@ -185,9 +174,6 @@ def make_fcos_train_steps(
         det_reg = _decode_teacher(
             dense_t, unl_k, f.NMS_CRITERIA_REG_TRAIN, unlabel_hw
         )
-        # PSEUDO_BBOX_SAMPLE dispatch (reference: trainer.py:244-294)
-        from ..modeling.fcos_outputs import threshold_pseudo_labels_cls_ctr
-
         if sem.PSEUDO_BBOX_SAMPLE == "thresholding":
             pseudo_cls = threshold_pseudo_labels(
                 det_cls, sem.BBOX_THRESHOLD, max_pseudo
@@ -209,6 +195,32 @@ def make_fcos_train_steps(
             )
         else:
             raise ValueError(sem.PSEUDO_BBOX_SAMPLE_REG)
+        return pseudo_cls, pseudo_reg
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def mutual_step(state: FCOSTrainState, batch: Dict[str, Any]):
+        """Mutual-learning step (reference: trainer.py:212-429)."""
+        # EMA cadence (reference: trainer.py:213-222): copy at burn-in
+        # boundary (keep 0), EMA every TEACHER_UPDATE_ITER, else hold.
+        at_boundary = state.step == burn_up
+        on_cadence = ((state.step - burn_up) % update_iter) == 0
+        keep_rate = jnp.where(
+            at_boundary, 0.0, jnp.where(on_cadence, ema_keep, 1.0)
+        )
+        teacher = _ema_update(state.teacher, state.student, keep_rate)
+
+        # teacher forward (no grad by construction: outside loss_fn)
+        unl_k = batch["images_unlabel_k"]
+        unlabel_hw = _hw_or_canvas(batch, "unlabel_hw", unl_k)
+        label_hw = _hw_or_canvas(batch, "label_hw", batch["images_label_k"])
+        if cfg.TPU.ORACLE_PSEUDO:
+            # positive control: both pseudo sets = the unlabeled stream's
+            # ground truth (see rcnn_trainer.mutual_step; same diagnostic)
+            pseudo_cls = pseudo_reg = batch["gt_unlabel"]
+        else:
+            pseudo_cls, pseudo_reg = _teacher_pseudo_sets(
+                teacher, unl_k, unlabel_hw
+            )
 
         k_label, k_unlabel = jax.random.split(batch["rng"])
         label_q = strong_augment(batch["images_label_k"], k_label)

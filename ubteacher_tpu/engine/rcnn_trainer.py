@@ -370,19 +370,29 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
         unl_k = batch["images_unlabel_k"]
         unlabel_hw = _hw_or_canvas(batch, "unlabel_hw", unl_k)
         label_hw = _hw_or_canvas(batch, "label_hw", batch["images_label_k"])
-        pyramid_t, _, _, _, pboxes_t, _, pmask_t = _proposals(
-            teacher, unl_k, train=False, hw=unlabel_hw
-        )
-        scores_t, deltas_t, std_t = model.apply(
-            {"params": teacher}, pyramid_t, pboxes_t, method=model.roi_box
-        )
-        dets = fast_rcnn_inference(
-            pboxes_t, pmask_t, scores_t, deltas_t, std_t, unlabel_hw,
-            roi_box2box, roi_cfg.SCORE_THRESH_TEST, roi_cfg.NMS_THRESH_TEST,
-            cfg.TEST.DETECTIONS_PER_IMAGE,
-            total_candidates=cfg.TPU.NMS_CANDIDATES,
-        )
-        pseudo = _pseudo_from_detections(dets, sem.BBOX_THRESHOLD, max_pseudo)
+        if cfg.TPU.ORACLE_PSEUDO:
+            # positive control: perfect pseudo labels from the loader
+            # (unlabeled-stream ground truth; confidence 1.0, boundary std
+            # ORACLE_BOX_STD) — isolates the pseudo-consumption path
+            # (sampling, confidence weighting, tsbetter gate) from teacher
+            # quality. The teacher EMA still runs so ap_teacher is tracked.
+            pseudo = batch["gt_unlabel"]
+        else:
+            pyramid_t, _, _, _, pboxes_t, _, pmask_t = _proposals(
+                teacher, unl_k, train=False, hw=unlabel_hw
+            )
+            scores_t, deltas_t, std_t = model.apply(
+                {"params": teacher}, pyramid_t, pboxes_t, method=model.roi_box
+            )
+            dets = fast_rcnn_inference(
+                pboxes_t, pmask_t, scores_t, deltas_t, std_t, unlabel_hw,
+                roi_box2box, roi_cfg.SCORE_THRESH_TEST, roi_cfg.NMS_THRESH_TEST,
+                cfg.TEST.DETECTIONS_PER_IMAGE,
+                total_candidates=cfg.TPU.NMS_CANDIDATES,
+            )
+            pseudo = _pseudo_from_detections(
+                dets, sem.BBOX_THRESHOLD, max_pseudo
+            )
 
         k_aug_l, k_aug_u, k_sup, k_unsup = jax.random.split(batch["rng"], 4)
         label_q = (

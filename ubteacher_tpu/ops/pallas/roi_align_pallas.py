@@ -429,6 +429,12 @@ def _fwd_tiled_kernel(
 
     @pl.when(n1 > n0)
     def _():
+        # the compute loop only writes rows [:pp]; zero the pad rows
+        # [pp, pp_pad) once so the full-buffer DMA to HBM ships zeros,
+        # not stale VMEM scratch (callers may slice them off, but the
+        # out buffer must never contain garbage — ADVICE r4)
+        if outb.shape[1] > pp:
+            outb[:, pp:] = jnp.zeros_like(outb[:, pp:])
         tile_in("start")
         fetch(0, n0, "start")
         tile_in("wait")
