@@ -123,6 +123,109 @@ def bench_one(dicts, threads: int, batches: int, warmup: int = 4) -> dict:
     }
 
 
+def bench_concurrent(dicts, threads: int, batches: int,
+                     canvas=(768, 1344), batch: int = 8) -> dict:
+    """Loader throughput WHILE a real TPU mutual-step loop runs in the
+    SAME process (VERDICT r4 next #6). The reference's D2 loader runs in
+    worker PROCESSES, structurally immune to trainer GIL contention; this
+    design decodes on threads in the trainer process, sharing the GIL
+    with jit dispatch and the axon tunnel feed — the one structural risk.
+    The stepper mirrors the real host loop (engine/trainer.py): dispatch
+    mutual step, device_get the metrics EVERY step.
+
+    Reports the loader's sustained img/s during the stepping window AND
+    the step loop's own throughput (device img/s = 16 * steps/s), so a
+    slowdown on either side is visible."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from ubteacher_tpu.data import loader as loader_mod
+    from ubteacher_tpu.data.loader import TwoStreamDataLoader
+    from ubteacher_tpu.engine.fcos_trainer import (
+        FCOSTrainState, make_fcos_train_steps,
+    )
+    from ubteacher_tpu.modeling.fcos_head import build_one_stage_detector
+    from ubteacher_tpu.solver import build_optimizer
+    from ubteacher_tpu.structures import PaddedInstances
+
+    cfg = build_cfg(threads)
+    h, w = canvas
+    rng = np.random.default_rng(0)
+    model = build_one_stage_detector(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3), jnp.float32)
+    )["params"]
+    tx = build_optimizer(cfg, params)
+    state = FCOSTrainState.create(params, tx)
+    _, mutual_step = make_fcos_train_steps(cfg, model, tx)
+    m = cfg.TPU.MAX_GT
+    boxes = np.zeros((batch, m, 4), np.float32)
+    mask = np.zeros((batch, m), bool)
+    boxes[:, :8, :2] = rng.uniform(0, 500, (batch, 8, 2))
+    boxes[:, :8, 2:] = boxes[:, :8, :2] + rng.uniform(20, 200, (batch, 8, 2))
+    mask[:, :8] = True
+    gt = PaddedInstances(
+        jnp.asarray(boxes), jnp.zeros((batch, m), jnp.int32),
+        jnp.ones((batch, m), jnp.float32),
+        jnp.zeros((batch, m, 4), jnp.float32), jnp.asarray(mask),
+    )
+    imgs = jnp.asarray(
+        rng.normal(110, 45, (batch, h, w, 3)).clip(0, 255).astype(np.float32)
+    )
+    dev_batch = {
+        "images_label_k": imgs, "gt_label": gt, "images_unlabel_k": imgs,
+        "rng": jax.random.PRNGKey(1),
+    }
+    print("# compiling mutual step (minutes on axon)...", file=sys.stderr)
+    state, met = mutual_step(state, dev_batch)
+    float(jax.device_get(met["total_loss"]))
+
+    stop = threading.Event()
+    steps_done = [0]
+
+    def stepper():
+        nonlocal state
+        while not stop.is_set():
+            state, met = mutual_step(state, dev_batch)
+            # honest per-step sync, like the real trainer's metric fetch
+            float(jax.device_get(met["total_loss"]))
+            steps_done[0] += 1
+
+    dl = TwoStreamDataLoader(
+        cfg, dicts, dicts, seed=0, process_index=0, process_count=1
+    )
+    it = iter(dl)
+    for _ in range(4):  # loader warmup before the window opens
+        next(it)
+    t = threading.Thread(target=stepper, daemon=True)
+    t.start()
+    time.sleep(2)  # let the step loop reach steady state
+    s0 = steps_done[0]
+    d0 = dict(loader_mod.DECODE_STATS)
+    t0 = time.perf_counter()
+    n_img = 0
+    for _ in range(batches):
+        b = next(it)
+        n_img += b["images_label_k"].shape[0] + b["images_unlabel_k"].shape[0]
+    dt = time.perf_counter() - t0
+    s1 = steps_done[0]
+    stop.set()
+    t.join(timeout=120)
+    d1 = dict(loader_mod.DECODE_STATS)
+    return {
+        "mode": "concurrent_step",
+        "threads": threads,
+        "batches": batches,
+        "loader_img_s": round(n_img / dt, 1),
+        "step_s": round((s1 - s0) / dt, 3),
+        "device_img_s_during": round(16.0 * (s1 - s0) / dt, 1),
+        "decodes": d1["train"] - d0["train"],
+        "corrupt": d1["corrupt"] - d0["corrupt"],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--images", type=int, default=400)
@@ -130,6 +233,10 @@ def main() -> None:
     ap.add_argument("--threads", type=int, nargs="+", default=[0, 1, 2, 4, 8])
     ap.add_argument("--device-img-s", type=float, default=55.0,
                     help="device demand to compare against (img/s/chip)")
+    ap.add_argument("--concurrent-step", action="store_true",
+                    help="measure decode img/s while a TPU mutual-step "
+                         "loop runs in the same process (uses the axon "
+                         "TPU; serialize with other TPU jobs)")
     args = ap.parse_args()
 
     from ubteacher_tpu.data.coco import load_coco_json
@@ -140,6 +247,13 @@ def main() -> None:
     print(f"# wrote {args.images} jpegs in {time.perf_counter()-t0:.1f}s "
           f"at {img_dir}", file=sys.stderr)
     dicts, _ = load_coco_json(json_path, img_dir)
+
+    if args.concurrent_step:
+        for t in args.threads:
+            r = bench_concurrent(dicts, t, args.batches)
+            r["sustains_device"] = r["loader_img_s"] >= r["device_img_s_during"]
+            print(json.dumps(r))
+        return
 
     results = []
     for t in args.threads:

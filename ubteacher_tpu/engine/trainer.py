@@ -300,6 +300,7 @@ class UBTeacherTrainer:
             data_time = time.perf_counter() - t_data
             # host-side branch on the step counter, like the reference's
             # python `if` (trainer.py:191/212)
+            t_step = time.perf_counter()
             if it < burn_up:
                 self.state, metrics = self.burnin_step(self.state, batch)
             else:
@@ -307,6 +308,11 @@ class UBTeacherTrainer:
             host_metrics = {
                 k: float(v) for k, v in jax.device_get(metrics).items()
             }
+            # wall time of dispatch + metric fetch (the fetch is the honest
+            # device sync on axon) — the reference's hooks.IterationTimer
+            # "time" metric (trainer.py:509); lets long runs surface
+            # step-time drift from metrics.json alone
+            host_metrics["time"] = time.perf_counter() - t_step
             host_metrics["data_time"] = data_time
             # cumulative corrupt-row count: multi-host corrupt files train
             # on a zero row (loader._materialize) — make that visible
