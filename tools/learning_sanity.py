@@ -125,6 +125,8 @@ def build_cfg(args, outdir: str, burnin: int | None = None,
     cfg.TEST.EVAL_PERIOD = 0
     cfg.MODEL.WEIGHTS = ""
     cfg.OUTPUT_DIR = outdir
+    if getattr(args, "opts", None):
+        cfg.merge_from_list(args.opts)
     cfg.freeze()
     return cfg
 
@@ -242,6 +244,9 @@ def main() -> None:
                     help="run on the host CPU backend (smoke tests)")
     ap.add_argument("--seed", type=int, default=0,
                     help="dataset + init seed")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="config KEY VALUE overrides, train_net.py style "
+                         "(e.g. --opts TPU.STEM_MODE conv)")
     args = ap.parse_args()
 
     if args.cpu:
