@@ -91,7 +91,8 @@ sys.path.insert(0, {repo!r})
 import numpy as np
 import jax.numpy as jnp
 
-jax.distributed.initialize(
+from ubteacher_tpu.parallel.mesh import distributed_init
+distributed_init(
     coordinator_address=os.environ["UBT_COORDINATOR"],
     num_processes=4,
     process_id=int(os.environ["UBT_PROCESS_ID"]),

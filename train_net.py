@@ -62,7 +62,12 @@ def main(args) -> None:
                 num_processes=int(os.environ["UBT_NUM_PROCESSES"]),
                 process_id=int(os.environ["UBT_PROCESS_ID"]),
             )
-        jax.distributed.initialize(**kwargs)
+        from ubteacher_tpu.parallel.mesh import distributed_init
+
+        # initialize + warmup collective: establishes the backend's
+        # collective context while processes are handshake-synced
+        # (see distributed_init docstring)
+        distributed_init(**kwargs)
 
     cfg = setup(args)
     trainer_name = cfg.SEMISUPNET.Trainer

@@ -23,6 +23,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _ACTIVE_MESH: Mesh | None = None
 
 
+def distributed_init(**kwargs) -> None:
+    """jax.distributed.initialize + an immediate warmup collective.
+
+    The coordination-service handshake synchronizes processes, but the
+    backend's collective context (Gloo on CPU hosts) is established only
+    at the FIRST collective, whose peer-address KV lookup has a fixed
+    ~30s window. If processes first meet at a collective sitting behind
+    minutes of per-process compile skew (1-CPU CI container serializing
+    two ~2-min mutual-step compiles), startup races with
+    "Gloo context initialization failed: DEADLINE_EXCEEDED" (observed
+    r5). Running one trivial global sync right after initialize — while
+    processes are still handshake-synced — pins context establishment
+    to a synchronized point; the big program's collectives reuse it.
+    (The reference's NCCL analog is DDP's eager process-group init at
+    construction time, trainer.py:60-63 — same idea.)"""
+    jax.distributed.initialize(**kwargs)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ubt_distributed_init")
+
+
 def set_active_mesh(mesh: Mesh | None) -> None:
     """Register the mesh the train/eval steps are sharded over.
 
