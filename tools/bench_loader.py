@@ -37,18 +37,22 @@ COCO_LIKE_DIMS = [
 ]
 
 
-def write_synthetic_jpegs(root: Path, n: int, seed: int = 0):
+def write_synthetic_jpegs(root: Path, n: int, seed: int = 0, dims=None):
     """n JPEGs with smooth content + rectangles (realistic decode cost —
-    pure noise JPEGs are pathologically large/slow) and a COCO json."""
+    pure noise JPEGs are pathologically large/slow) and a COCO json.
+    dims: optional (h, w) list overriding COCO_LIKE_DIMS (e.g. the soak
+    passes landscape-only dims to bound compiled-program count)."""
     import cv2
 
     rng = np.random.default_rng(seed)
+    if dims is None:
+        dims = COCO_LIKE_DIMS
     img_dir = root / "images"
     img_dir.mkdir(parents=True, exist_ok=True)
     images, annotations = [], []
     ann_id = 1
     for i in range(n):
-        h, w = COCO_LIKE_DIMS[int(rng.integers(len(COCO_LIKE_DIMS)))]
+        h, w = dims[int(rng.integers(len(dims)))]
         yy, xx = np.mgrid[0:h, 0:w]
         img = np.stack(
             [

@@ -85,11 +85,25 @@ def build_cfg(args, outdir: str):
 
 
 def ensure_dataset(workdir: Path, n: int = 200):
+    """Landscape-only COCO-size jpegs. Rationale (measured, r5): every
+    (label-bucket, unlabel-bucket) canvas pair is a distinct jitted
+    signature; with both orientations and the two scale buckets that is
+    up to 16 programs per phase, and with the compilation cache dead
+    over the axon tunnel the client retains several GB of host memory
+    PER COMPILE — the full-orientation soak grew 20 -> 87 GB RSS by
+    iter 300 (identical slope with eager batch release, so the growth
+    is compile-driven) and would OOM the 125 GB host before the first
+    kill-checkpoint. Landscape-only halves the program count while
+    keeping the multi-scale-bucket compile budget that item #3 is
+    measuring. Orientation coverage itself is exercised by the test
+    suite and the eval path."""
+    from tools.bench_loader import COCO_LIKE_DIMS, write_synthetic_jpegs
+
     json_path = workdir / "instances.json"
     if not json_path.exists():
-        from tools.bench_loader import write_synthetic_jpegs
-
-        write_synthetic_jpegs(workdir, n)
+        write_synthetic_jpegs(
+            workdir, n, dims=[(h, w) for h, w in COCO_LIKE_DIMS if w >= h]
+        )
     return str(json_path), str(workdir / "images")
 
 

@@ -322,13 +322,14 @@ class UBTeacherTrainer:
             self.storage.put_scalars(**host_metrics)
             if cfg.VIS_PERIOD and (it + 1) % cfg.VIS_PERIOD == 0:
                 self._save_visualization(it + 1, batch, mutual=it >= burn_up)
-            # Release the consumed batch's device arrays EAGERLY: the
-            # axon remote client pins each shipped batch's host-side
-            # buffer for as long as its jax.Array lives, and Python's GC
-            # alone lets them accumulate (~220 MB/step at production
-            # canvases — the r5 soak grew 20 -> 87 GB host RSS by iter
-            # 300 and was OOM-bound). The metrics fetch above is the
-            # honest step sync on axon, so these buffers are dead here.
+            # Release the consumed batch's device arrays eagerly (the
+            # metrics fetch above is the honest step sync, so they are
+            # dead here). Hygiene: keeps at most batch+prefetch alive by
+            # construction instead of by GC timing. NOTE the r5 soak's
+            # host-RSS growth was measured to be COMPILE-driven (same
+            # slope with and without this release; see ROUND5_NOTES) —
+            # this bounds steady-state batch memory, it is not the leak
+            # fix it was first thought to be.
             for leaf in jax.tree.leaves(batch):
                 if isinstance(leaf, jax.Array):
                     leaf.delete()
