@@ -76,6 +76,16 @@ def build_cfg(args, outdir: str):
     cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 10.0
     cfg.SEMISUPNET.BURN_UP_STEP = args.burnin
     cfg.TEST.EVAL_PERIOD = args.eval_period
+    # Single scale bucket for the soak (r5, measured): the first
+    # mutual-phase compile with the extra 1024 bucket in the mix died
+    # with "INTERNAL: TPU backend error" at iter 301 (after a clean
+    # 300-iter burn-in) — the mixed-canvas pair program faults the
+    # worker, same runtime-fault family as the 256px eval note in
+    # CLAUDE.md. Base-canvas programs are the bench-proven path; the
+    # 1024 bucket's compile/step costs are measured separately by the
+    # profile session (ROUND5_NOTES). Soak scope: drift, RSS, hook
+    # cadence, kill/resume — not the multi-bucket program matrix.
+    cfg.TPU.EXTRA_TRAIN_CANVASES = []
     cfg.TPU.DATA_THREADS = 4
     cfg.MODEL.WEIGHTS = ""
     cfg.SEED = 0
