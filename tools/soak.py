@@ -246,25 +246,36 @@ def run_parent(args) -> None:
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/.axon_site:" + str(Path.cwd())
     t0 = time.time()
-    child = subprocess.Popen(child_cmd, env=env)
-    # poll for a finalized checkpoint at >= kill-at, then kill -9
     killed = False
-    while child.poll() is None:
-        steps = _finalized_checkpoint_steps(outdir)
-        if steps and steps[-1] >= args.kill_at:
-            time.sleep(10)  # let the async orbax write fully settle
-            print(f"# killing child at checkpoint {steps[-1]} "
-                  f"(+{time.time()-t0:.0f}s)", file=sys.stderr)
-            child.send_signal(signal.SIGKILL)
-            child.wait()
-            killed = True
+    # the pooled tunnel occasionally drops a compile RPC mid-flight
+    # ("remote_compile: response body closed"); the child resumes from
+    # the latest checkpoint, so relaunching is the production-realistic
+    # recovery (restart + --resume, SURVEY.md §5) — allow a few
+    for attempt in range(4):
+        child = subprocess.Popen(child_cmd, env=env)
+        # poll for a finalized checkpoint at >= kill-at, then kill -9
+        while child.poll() is None:
+            steps = _finalized_checkpoint_steps(outdir)
+            if steps and steps[-1] >= args.kill_at:
+                time.sleep(10)  # let the async orbax write fully settle
+                print(f"# killing child at checkpoint {steps[-1]} "
+                      f"(+{time.time()-t0:.0f}s)", file=sys.stderr)
+                child.send_signal(signal.SIGKILL)
+                child.wait()
+                killed = True
+                break
+            time.sleep(10)
+        if killed:
             break
-        time.sleep(10)
+        print(f"# child exited rc={child.returncode} before the kill "
+              f"checkpoint (attempt {attempt + 1}); relaunching",
+              file=sys.stderr)
+        time.sleep(30)  # let the tunnel/worker settle
     killed_at_wall = time.time() - t0
     if not killed:
         raise RuntimeError(
-            f"child exited rc={child.returncode} before reaching a "
-            f"checkpoint >= {args.kill_at}"
+            f"child kept exiting (last rc={child.returncode}) before "
+            f"reaching a checkpoint >= {args.kill_at}"
         )
     ck_step = _finalized_checkpoint_steps(outdir)[-1]
 
