@@ -156,7 +156,10 @@ def weak_augment_geometry(
 
 def materialize_weak_augment(image: np.ndarray, geom: Dict) -> np.ndarray:
     """Apply a `weak_augment_geometry` record to pixels: crop, resize,
-    flip, pad to the chosen canvas. Returns the (ch, cw, 3) float32 image."""
+    flip, pad to the chosen canvas. Returns the (ch, cw, 3) image —
+    uint8 when the decoded source is uint8 (the standard disk path; 4x
+    less host->device transfer than f32 and bit-identical pixel values,
+    the models normalize in f32 regardless), float32 otherwise."""
     import cv2
 
     if geom["crop"] is not None:
@@ -167,8 +170,9 @@ def materialize_weak_augment(image: np.ndarray, geom: Dict) -> np.ndarray:
     if geom["flip"]:
         resized = resized[:, ::-1]
     ch, cw = geom["canvas"]
-    canvas = np.zeros((ch, cw, 3), np.float32)
-    canvas[:new_h, :new_w] = resized.astype(np.float32)
+    dtype = np.uint8 if resized.dtype == np.uint8 else np.float32
+    canvas = np.zeros((ch, cw, 3), dtype)
+    canvas[:new_h, :new_w] = resized.astype(dtype)
     return canvas
 
 
@@ -387,7 +391,15 @@ def strong_augment_single(image: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
     x = _random_erase(x, ke[0], 0.7, (0.05, 0.2), (0.3, 3.3))
     x = _random_erase(x, ke[1], 0.5, (0.02, 0.2), (0.1, 6.0))
     x = _random_erase(x, ke[2], 0.3, (0.02, 0.2), (0.05, 8.0))
-    return (x * 255.0).astype(orig_dtype)
+    x = x * 255.0
+    if not jnp.issubdtype(orig_dtype, jnp.floating):
+        # uint8 inputs (the loader's raw-pixel batches): round + clamp
+        # before the integer cast — jitter/blur can leave values a hair
+        # outside [0, 255] and a bare cast would wrap. The uint8
+        # quantization itself matches the reference, whose strong
+        # pipeline runs on uint8 PIL images (detection_utils.py:8-46).
+        x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    return x.astype(orig_dtype)
 
 
 def strong_augment(images: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:

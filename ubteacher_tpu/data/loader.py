@@ -286,7 +286,10 @@ class TwoStreamDataLoader:
                 item["dict"].get("file_name", "?"),
             )
             ch, cw = item["bucket"]
-            image = np.zeros((ch, cw, 3), np.float32)
+            # uint8 to match the standard decode path's canvas dtype —
+            # a float32 zero row would upcast the whole stacked batch
+            # and change the jitted step's input signature
+            image = np.zeros((ch, cw, 3), np.uint8)
             item = dict(
                 item, gt={k: np.zeros_like(v) for k, v in item["gt"].items()}
             )

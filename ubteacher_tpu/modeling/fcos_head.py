@@ -160,6 +160,11 @@ class OneStageDetector(nn.Module):
     def __call__(
         self, images: jnp.ndarray, hw: jnp.ndarray | None = None
     ) -> FCOSDense:
+        # images may arrive uint8 (the loader ships raw pixels — 4x less
+        # host->device traffic than f32; values identical): normalize in
+        # float32 regardless
+        if not jnp.issubdtype(images.dtype, jnp.floating):
+            images = images.astype(jnp.float32)
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         x = (images - mean) / std

@@ -39,6 +39,11 @@ class TwoStageRCNN(nn.Module):
     def features(
         self, images: jnp.ndarray, hw: jnp.ndarray | None = None
     ) -> Dict[str, jnp.ndarray]:
+        # images may arrive uint8 (the loader ships raw pixels — 4x less
+        # host->device traffic than f32; values identical): normalize in
+        # float32 regardless
+        if not jnp.issubdtype(images.dtype, jnp.floating):
+            images = images.astype(jnp.float32)
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         x = (images - mean) / std
