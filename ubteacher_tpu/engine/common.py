@@ -19,3 +19,20 @@ def hw_or_canvas(batch, key: str, images: jnp.ndarray) -> jnp.ndarray:
     if hw is None:
         return image_hw(images)
     return jnp.asarray(hw, jnp.float32)
+
+
+def float_images(batch: dict) -> dict:
+    """Cast the batch's image tensors to float32 at step entry.
+
+    The loader ships raw uint8 pixels (4x less host->device transfer);
+    casting FIRST thing inside the jitted step keeps the rest of the
+    program byte-identical to the battle-tested float32 one — running
+    strong_augment/stem directly on integer inputs produced a distinct
+    program that faulted the TPU worker at the first mutual step
+    (kernel-fault family, ROUND5_NOTES r5; reproduced 2x)."""
+    out = dict(batch)
+    for k in ("images_label_k", "images_unlabel_k"):
+        v = out.get(k)
+        if v is not None and not jnp.issubdtype(v.dtype, jnp.floating):
+            out[k] = v.astype(jnp.float32)
+    return out

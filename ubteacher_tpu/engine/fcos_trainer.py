@@ -42,7 +42,7 @@ from ..modeling.fcos_outputs import (
 )
 from ..solver.build import stop_frozen_gradients
 from ..structures import PaddedInstances
-from .common import hw_or_canvas
+from .common import float_images, hw_or_canvas
 
 
 @flax.struct.dataclass
@@ -119,6 +119,7 @@ def make_fcos_train_steps(
     def burnin_step(state: FCOSTrainState, batch: Dict[str, Any]):
         """Supervised-only step on labeled strong+weak
         (reference: trainer.py:191-210)."""
+        batch = float_images(batch)
         label_q = strong_augment(batch["images_label_k"], batch["rng"])
         label_hw = _hw_or_canvas(batch, "label_hw", batch["images_label_k"])
 
@@ -200,6 +201,7 @@ def make_fcos_train_steps(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def mutual_step(state: FCOSTrainState, batch: Dict[str, Any]):
         """Mutual-learning step (reference: trainer.py:212-429)."""
+        batch = float_images(batch)
         # EMA cadence (reference: trainer.py:213-222): copy at burn-in
         # boundary (keep 0), EMA every TEACHER_UPDATE_ITER, else hold.
         at_boundary = state.step == burn_up

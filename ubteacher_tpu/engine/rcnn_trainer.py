@@ -47,7 +47,7 @@ from ..modeling.rpn import (
 )
 from ..solver.build import stop_frozen_gradients
 from ..structures import PaddedInstances
-from .common import hw_or_canvas, image_hw
+from .common import float_images, hw_or_canvas, image_hw
 from .fcos_trainer import FCOSTrainState, _ema_update
 
 RCNNTrainState = FCOSTrainState  # same pytree layout
@@ -330,6 +330,7 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def burnin_step(state: RCNNTrainState, batch: Dict[str, Any]):
+        batch = float_images(batch)
         k_aug, k_branch = jax.random.split(batch["rng"])
         label_q = (
             strong_augment(batch["images_label_k"], k_aug) if sup_strong
@@ -358,6 +359,7 @@ def make_rcnn_train_steps(cfg, model, tx: optax.GradientTransformation
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def mutual_step(state: RCNNTrainState, batch: Dict[str, Any]):
+        batch = float_images(batch)
         at_boundary = state.step == sem.BURN_UP_STEP
         on_cadence = ((state.step - sem.BURN_UP_STEP)
                       % sem.TEACHER_UPDATE_ITER) == 0
