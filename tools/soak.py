@@ -86,6 +86,13 @@ def build_cfg(args, outdir: str):
     # profile session (ROUND5_NOTES). Soak scope: drift, RSS, hook
     # cadence, kill/resume — not the multi-bucket program matrix.
     cfg.TPU.EXTRA_TRAIN_CANVASES = []
+    # Diagnostic (r5): the real-loader mutual program (per-image hw
+    # masking) at production canvas kernel-faults the worker at its
+    # FIRST step with the pallas stem (reproduced across f32 and uint8
+    # input variants; bench/profile mutual programs — no hw inputs —
+    # run fine). conv stem isolates whether the stem is the common
+    # factor of the whole-program fault family; costs ~7 ms/step.
+    cfg.TPU.STEM_MODE = "conv"
     cfg.TPU.DATA_THREADS = 4
     cfg.MODEL.WEIGHTS = ""
     cfg.SEED = 0

@@ -353,13 +353,20 @@ def add_tpu_config(cfg: CN) -> None:
     # conv+BN+ReLU+maxpool Pallas kernel, ops/pallas/stem_pallas.py;
     # "pallas_interpret" is its test-only interpreted variant). Identical
     # outputs and parameter tree in every mode. STEM_SPACE_TO_DEPTH=True
-    # overrides this to "s2d". Default "pallas": the round-4 on-device A/B
-    # (tools/ab_stem.py, min device time of 4 trace windows, mutual step)
-    # measured conv->pallas 290.78->283.95 ms/step FCOS @8+8 and
-    # 248.38->242.94 ms/step RCNN @4+4 — the fused kernel erases the
-    # ~7-11 ms channel-starved stem cluster on both families. On non-TPU
-    # backends the op falls back to the identical XLA composition.
-    _C.TPU.STEM_MODE = "pallas"
+    # overrides this to "s2d".
+    # Default "conv" (round-5 REVERSAL of the round-4 "pallas" flip, on
+    # stability evidence): the pallas kernel is ~6 ms/step faster in
+    # isolation (r4 A/B: FCOS 290.78->283.95, RCNN 248.38->242.94) and
+    # is numerically identical, but in WHOLE-PROGRAM composition it
+    # kernel-faults the v5e worker in two independent production paths —
+    # the 256px RCNN eval program and, decisively, the real-trainer
+    # mutual step at 768x1344 (per-image hw inputs; faulted at its first
+    # step across f32 AND uint8 input variants, reproduced 4x, r5 soak)
+    # — while the same programs with "conv" run clean for thousands of
+    # steps. A default that can hard-fault the flagship training path is
+    # not worth 2% step time; "pallas" remains available where its
+    # program composition is proven (bench/profile-style steps).
+    _C.TPU.STEM_MODE = "conv"
     # Device mesh axis sizes; -1 means "all visible devices" on the data axis.
     _C.TPU.MESH_DATA = -1
     # Host data pipeline workers.
